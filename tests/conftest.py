@@ -1,0 +1,24 @@
+"""Test env: run JAX on CPU with 8 virtual devices so sharding logic
+(parallel/) is exercised without TPU hardware (SURVEY.md section 4).
+
+Note: this sandbox pins JAX_PLATFORMS=axon through a sitecustomize
+hook, so the env var alone is not enough -- jax.config is the
+authoritative override.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_sessionstart(session):
+    assert jax.devices()[0].platform == "cpu", jax.devices()

@@ -1,0 +1,63 @@
+"""Central configuration for the renderer.
+
+The reference has no config system at all -- every knob is a
+compile-time constant scattered over the tree (resolution
+main.cpp:49-50, block size main.cpp:181, MAX_DEPTH / RR threshold
+renderer.cu:363-364, FOV camera.cpp:147, camera speeds camera.h:77-78,
+light threshold main.cpp:93, firefly clamp renderer.cu:752).  Here all
+of those live in one frozen dataclass whose *defaults reproduce the
+reference behavior bit-for-bit*, so default renders are comparable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render parameters (hashable: usable as a jit static arg)."""
+
+    width: int = 1200           # reference main.cpp:49
+    height: int = 800           # reference main.cpp:50
+    spp: int = 1                # reference renders 1 spp per launch (main.cpp:181)
+    max_depth: int = 30         # reference renderer.cu:363
+    rr_threshold: int = 3       # reference renderer.cu:364 (RR when depth > 3)
+    rr_min_p: float = 0.05      # reference renderer.cu:562
+    fov_scale: float = 0.5135   # tan(FOV/2); reference camera.cpp:147
+
+    # Sample sanitation (reference renderer.cu:739-756).
+    firefly_clamp: float = 100.0
+    # NEE distance-squared floor (reference renderer.cu:674).
+    nee_dist_sq_floor: float = 5.0
+    # Host light scan threshold (reference main.cpp:93).
+    light_scan_threshold: float = 0.1
+    # Emitter path-termination threshold (reference renderer.cu:497).
+    emitter_stop_threshold: float = 1e-3
+
+    # Geometric epsilons (reference renderer.cu:236, :587, :608, :635, :692).
+    intersect_eps: float = 1e-5
+    shadow_eps: float = 1e-3
+    refr_offset: float = 1e-4
+    shadow_max_dist_eps: float = 1e-2
+
+    # Traversal bounds. 32 mirrors the reference's fixed stack depth
+    # (renderer.cu:387); for the threaded traversal it only caps the
+    # equivalent tree depth used to bound the step count.
+    max_bvh_depth: int = 32
+
+    # Planar texture mapping (reference renderer.cu:465-481).
+    tex_planar_scale: float = 0.01
+
+    # Behavior flags (quirk gates; default = reference behavior).
+    clamp_fireflies: bool = True
+    nee_dist_floor_enabled: bool = True
+
+    def with_size(self, width: int, height: int) -> "RenderConfig":
+        return dataclasses.replace(self, width=width, height=height)
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = RenderConfig()

@@ -1,0 +1,89 @@
+"""Device-resident scene: the upload step.
+
+Analogue of init_scene_data (reference renderer.cu:134-184): move the
+flattened SoA scene arrays plus the threaded BVH on-device as one
+pytree.  On multi-chip meshes the arrays are replicated (the scene is
+read-only during tracing; image tiles are what gets sharded), which is
+the ICI-friendly layout for this workload.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from tryraytrace_tpu.accel.bvh import LinearBVH, build_bvh
+from tryraytrace_tpu.scene.model import SceneArrays
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DeviceScene:
+    """All scene state the render kernels read. Everything is a JAX
+    array (data field) so a DeviceScene can flow through jit."""
+
+    tri_v0: jax.Array
+    tri_v1: jax.Array
+    tri_v2: jax.Array
+    albedo: jax.Array
+    emission: jax.Array
+    metallic: jax.Array
+    roughness: jax.Array
+    ior: jax.Array
+    transmission: jax.Array
+    tex_id: jax.Array
+    light_indices: jax.Array   # [max(L,1)] i32 (padded to 1 when L=0)
+    bvh_bounds: jax.Array      # [M, 6]
+    bvh_leaf_prim: jax.Array   # [M]
+    bvh_miss: jax.Array        # [M]
+    num_lights: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_objects(self) -> int:
+        return int(self.tri_v0.shape[0])
+
+    @property
+    def num_nodes(self) -> int:
+        return int(self.bvh_bounds.shape[0])
+
+
+def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
+                 device_put=True) -> tuple[DeviceScene, tuple, LinearBVH]:
+    """Build the BVH (reordering primitives, main.cpp:82-86 contract),
+    then assemble the device pytree.
+
+    Returns (device_scene, textures_tuple, bvh).  Textures ride
+    separately because their shapes vary per scene.
+    """
+    if bvh is None:
+        bvh = build_bvh(arrays.tri_v0, arrays.tri_v1, arrays.tri_v2)
+    ordered = arrays.permuted(bvh.perm) if bvh.perm.size else arrays
+
+    n_lights = ordered.num_lights
+    light_idx = ordered.light_indices
+    if n_lights == 0:
+        print("[Renderer Warning] No lights found in scene!")  # renderer.cu:182
+        light_idx = np.zeros(1, dtype=np.int32)
+
+    put = jax.device_put if device_put else (lambda x: x)
+    dev = DeviceScene(
+        tri_v0=put(ordered.tri_v0),
+        tri_v1=put(ordered.tri_v1),
+        tri_v2=put(ordered.tri_v2),
+        albedo=put(ordered.albedo),
+        emission=put(ordered.emission),
+        metallic=put(ordered.metallic),
+        roughness=put(ordered.roughness),
+        ior=put(ordered.ior),
+        transmission=put(ordered.transmission),
+        tex_id=put(ordered.tex_id),
+        light_indices=put(light_idx),
+        bvh_bounds=put(bvh.bounds),
+        bvh_leaf_prim=put(bvh.leaf_prim),
+        bvh_miss=put(bvh.miss),
+        num_lights=n_lights,
+    )
+    textures = tuple(put(t) for t in ordered.textures)
+    return dev, textures, bvh

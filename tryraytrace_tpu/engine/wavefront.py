@@ -1,0 +1,280 @@
+"""The wavefront path tracer: the TPU-native replacement for the
+reference's CUDA megakernel (renderer.cu:317-760).
+
+Architecture inversion, not translation: instead of one thread per
+pixel carrying a serial 30-bounce loop with divergent control flow,
+the *entire ray population* advances bounce-by-bounce in lockstep
+inside one ``jax.jit``:
+
+  raygen -> [closest-hit traversal -> shade (+NEE shadow wave)] x depth
+
+Each stage is branch-free masked math over SoA buffers; the bounce
+loop is a ``lax.while_loop`` that exits when every path is dead,
+and each traversal is itself a lockstep threaded-BVH walk
+(ops/traverse.py).  Dead lanes are masked, not compacted -- with RR
+after depth 3 the live fraction collapses fast and masking measures
+cheaper than sort/segment compaction at these scene sizes (SURVEY.md
+hard-part #2); a compaction path can slot in between bounces later
+without changing any semantics.
+
+Every constant, epsilon and draw order matches the reference; the RNG
+is the shared counter-based hash (core/rng.py) so the NumPy oracle
+produces bit-comparable frames.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tryraytrace_tpu.config import RenderConfig
+from tryraytrace_tpu.core import rng, vec
+from tryraytrace_tpu.engine.camera_rays import generate_rays
+from tryraytrace_tpu.ops import shade
+from tryraytrace_tpu.ops.texture import sample_textures
+from tryraytrace_tpu.ops.traverse import any_hit, closest_hit
+
+PI = np.float32(np.pi)
+
+
+def render_sample(scene, textures, cam, seed, width: int, height: int,
+                  cfg: RenderConfig, pixel_idx=None):
+    """Trace one 1-spp pass for all pixels -> radiance [N, 3].
+
+    ``seed`` is the per-sample uint32 seed; ``pixel_idx`` (optional
+    [N] i32) supports sharded/tiled rendering -- RNG streams are keyed
+    by absolute pixel index so tiling never changes the image.
+    """
+    n = width * height if pixel_idx is None else pixel_idx.shape[0]
+    if pixel_idx is None:
+        pixel_idx = jnp.arange(n, dtype=jnp.int32)
+    seed = jnp.asarray(seed).astype(jnp.uint32)
+
+    r_o, r_d = generate_rays(cam, width, height, seed, pixel_idx)
+
+    carry = (
+        jnp.int32(0),                              # depth
+        r_o,
+        r_d,
+        jnp.ones((n, 3), jnp.float32),             # throughput
+        jnp.zeros((n, 3), jnp.float32),            # radiance
+        jnp.ones((n,), bool),                      # alive
+        jnp.ones((n,), bool),                      # prev bounce specular
+    )
+
+    def cond(c):
+        depth, *_, alive, _prev = c
+        return (depth < cfg.max_depth) & jnp.any(alive)
+
+    def body(c):
+        depth, o, d, tp, rad, alive, prev_spec = c
+        o, d, tp, rad, alive, prev_spec = _bounce(
+            scene, textures, seed, pixel_idx, depth,
+            o, d, tp, rad, alive, prev_spec, cfg,
+        )
+        return depth + 1, o, d, tp, rad, alive, prev_spec
+
+    *_, rad, _alive, _prev = jax.lax.while_loop(cond, body, carry)
+    return _sanitize(rad, cfg)
+
+
+def _bounce(scene, textures, seed, pixel_idx, depth,
+            o, d, tp, rad, alive, prev_spec, cfg: RenderConfig):
+    """One wavefront bounce: traverse, shade, NEE, next-ray selection."""
+    t, hit_id = closest_hit(
+        scene.bvh_bounds, scene.bvh_leaf_prim, scene.bvh_miss,
+        scene.tri_v0, scene.tri_v1, scene.tri_v2, o, d, alive,
+    )
+    alive = alive & (hit_id >= 0)  # miss -> path ends (renderer.cu:427)
+    sid = jnp.maximum(hit_id, 0)
+
+    v0 = scene.tri_v0[sid]
+    v1 = scene.tri_v1[sid]
+    v2 = scene.tri_v2[sid]
+    x_hit = o + d * t[..., None]
+
+    # Face normal, two-sided flip (renderer.cu:441-446).
+    nrm = vec.norm(vec.cross(v1 - v0, v2 - v0, jnp), jnp)
+    nl = jnp.where((vec.dot(nrm, d, jnp) < 0.0)[..., None], nrm, -nrm)
+
+    albedo = scene.albedo[sid]
+    metallic = scene.metallic[sid]
+    roughness = scene.roughness[sid]
+    transmission = scene.transmission[sid]
+    ior = scene.ior[sid]
+    emission = scene.emission[sid]
+
+    # Planar-projection texture modulation (renderer.cu:463-481).
+    if textures:
+        factor = sample_textures(
+            textures, scene.tex_id[sid], x_hit, nrm,
+            jnp.float32(cfg.tex_planar_scale),
+        )
+        albedo = albedo * factor
+
+    # Emission accounting (renderer.cu:486-499): add only when the
+    # previous bounce was specular/refractive (NEE double-count guard);
+    # any emitter terminates the path.
+    rad = rad + jnp.where((alive & prev_spec)[..., None], tp * emission, 0.0)
+    is_emitter = (emission > cfg.emitter_stop_threshold).any(axis=-1)
+    alive = alive & ~is_emitter
+
+    # Branch probabilities (renderer.cu:502-556).
+    p_spec, p_trans, fres = shade.pbr_weights(
+        albedo, metallic, roughness, transmission, nl, d)
+
+    base = rng.CAMERA_DRAWS + depth * rng.DRAWS_PER_BOUNCE
+
+    # Russian roulette after depth 3 (renderer.cu:559-565).
+    u_rr = rng.uniform(seed, pixel_idx, base + rng.SLOT_RR, jnp)
+    rr_on = depth > cfg.rr_threshold
+    p_live = jnp.maximum(albedo.max(axis=-1), cfg.rr_min_p)
+    survive = u_rr < p_live
+    tp = jnp.where((rr_on & alive & survive)[..., None],
+                   tp * (1.0 / p_live)[..., None], tp)
+    alive = alive & (~rr_on | survive)
+
+    # Exclusive branch selection (renderer.cu:567-571,592,651).
+    u_b = rng.uniform(seed, pixel_idx, base + rng.SLOT_BRANCH, jnp)
+    m_spec = alive & (u_b < p_spec)
+    m_trans = alive & ~m_spec & (u_b < p_spec + p_trans)
+    m_diff = alive & ~m_spec & ~m_trans
+
+    u_d1 = rng.uniform(seed, pixel_idx, base + rng.SLOT_DIR_R1, jnp)
+    u_d2 = rng.uniform(seed, pixel_idx, base + rng.SLOT_DIR_R2, jnp)
+
+    # --- Branch A: specular (renderer.cu:571-589) ---
+    perfect = shade.reflect(d, nrm)
+    d_spec = shade.rough_perturb(perfect, roughness, u_d1, u_d2)
+    kill_spec = vec.dot(d_spec, nl, jnp) <= 0.0  # below-surface -> die
+    # Unguarded 1/p like the reference (renderer.cu:584): a zero
+    # probability on a *selected* lane yields inf and the sample is
+    # dropped by the NaN/Inf filter; unselected lanes are discarded.
+    tp_spec = tp * fres * (1.0 / p_spec)[..., None]
+    o_spec = x_hit + nl * np.float32(cfg.shadow_eps)
+
+    # --- Branch B: transmission (renderer.cu:592-648) ---
+    d_trans, _tir = shade.refract_branch(d, nrm, nl, ior, roughness, u_d1, u_d2)
+    p_branch = (1.0 - p_spec) * transmission
+    tp_trans = jnp.where(
+        (p_branch > 1e-4)[..., None],
+        tp * albedo / jnp.where(p_branch > 1e-4, p_branch, 1.0)[..., None],
+        tp,
+    )
+    o_trans = x_hit + d_trans * np.float32(cfg.refr_offset)
+
+    # --- Branch C: diffuse + NEE (renderer.cu:651-733) ---
+    if scene.num_lights > 0:
+        rad = rad + _nee_contribution(
+            scene, seed, pixel_idx, base, x_hit, nl, albedo, tp, m_diff, cfg)
+    d_diff = shade.cosine_hemisphere(nl, u_d1, u_d2)
+    p_diff = 1.0 - p_spec - (1.0 - p_spec) * transmission  # renderer.cu:727
+    tp_diff = (tp * (albedo * (1.0 - metallic)[..., None])
+               * (1.0 / p_diff)[..., None])  # unguarded, renderer.cu:728
+    o_diff = x_hit + nl * np.float32(cfg.shadow_eps)
+
+    # --- Select ---
+    m_spec3 = m_spec[..., None]
+    m_trans3 = m_trans[..., None]
+    m_diff3 = m_diff[..., None]
+    d = jnp.where(m_spec3, d_spec, jnp.where(m_trans3, d_trans, d_diff))
+    o = jnp.where(m_spec3, o_spec, jnp.where(m_trans3, o_trans, o_diff))
+    tp = jnp.where(m_spec3, tp_spec,
+                   jnp.where(m_trans3, tp_trans,
+                             jnp.where(m_diff3, tp_diff, tp)))
+    alive = alive & ~(m_spec & kill_spec)
+    prev_spec = jnp.where(m_spec | m_trans, True,
+                          jnp.where(m_diff, False, prev_spec))
+    return o, d, tp, rad, alive, prev_spec
+
+
+def _nee_contribution(scene, seed, pixel_idx, base, x_hit, nl, albedo, tp,
+                      m_diff, cfg: RenderConfig):
+    """Next-event estimation for diffuse lanes (renderer.cu:657-711).
+
+    Shadow rays form their own any-hit wave.  Preserved quirks: the
+    dist_sq >= 5 floor (renderer.cu:674) and that L_dir is computed
+    from the *unclamped* to-light vector over the clamped distance.
+    """
+    lcount = scene.num_lights
+    u4 = rng.uniform(seed, pixel_idx, base + rng.SLOT_LIGHT_PICK, jnp)
+    u5 = rng.uniform(seed, pixel_idx, base + rng.SLOT_LIGHT_R1, jnp)
+    u6 = rng.uniform(seed, pixel_idx, base + rng.SLOT_LIGHT_R2, jnp)
+
+    pick = (u4 * (lcount - 0.001)).astype(jnp.int32)
+    pick = jnp.clip(pick, 0, lcount - 1)
+    li = scene.light_indices[pick]
+    lv0 = scene.tri_v0[li]
+    lv1 = scene.tri_v1[li]
+    lv2 = scene.tri_v2[li]
+
+    light_pos = shade.sample_triangle(lv0, lv1, lv2, u5, u6)
+    to_light = light_pos - x_hit
+    dist_sq = vec.dot(to_light, to_light, jnp)
+    if cfg.nee_dist_floor_enabled:
+        dist_sq = jnp.maximum(dist_sq, cfg.nee_dist_sq_floor)
+    dist = jnp.sqrt(dist_sq)
+    l_dir = to_light * (1.0 / dist)[..., None]
+
+    cos_theta = vec.dot(nl, l_dir, jnp)
+    light_n = vec.norm(vec.cross(lv1 - lv0, lv2 - lv0, jnp), jnp)
+    cos_light = -vec.dot(light_n, l_dir, jnp)
+    geo_ok = m_diff & (cos_theta > 0.0) & (cos_light > 0.0)
+
+    shadow_o = x_hit + nl * np.float32(cfg.shadow_eps)
+    occluded = any_hit(
+        scene.bvh_bounds, scene.bvh_leaf_prim, scene.bvh_miss,
+        scene.tri_v0, scene.tri_v1, scene.tri_v2,
+        shadow_o, l_dir, dist - np.float32(cfg.shadow_max_dist_eps), geo_ok,
+    )
+    lit = geo_ok & ~occluded
+
+    area = shade.triangle_area(lv0, lv1, lv2)
+    pdf = 1.0 / (area * lcount)
+    g_term = (cos_theta * cos_light) / dist_sq
+    brdf = albedo * (1.0 / PI)
+    contrib = scene.emission[li] * brdf * (g_term / pdf)[..., None]
+    return jnp.where(lit[..., None], tp * contrib, 0.0)
+
+
+def _sanitize(rad, cfg: RenderConfig):
+    """Sample sanitation before accumulation (renderer.cu:737-756):
+    NaN/Inf drops the whole sample, negatives clamp to 0, luminance
+    fireflies rescale to 100."""
+    bad = (jnp.isnan(rad) | jnp.isinf(rad)).any(axis=-1)
+    rad = jnp.where(bad[..., None], 0.0, rad)
+    rad = jnp.maximum(rad, 0.0)
+    if cfg.clamp_fireflies:
+        lum = (rad[..., 0] * np.float32(0.21)
+               + rad[..., 1] * np.float32(0.71)
+               + rad[..., 2] * np.float32(0.07))
+        over = lum > cfg.firefly_clamp
+        scale = jnp.where(over, cfg.firefly_clamp / jnp.where(over, lum, 1.0), 1.0)
+        rad = rad * scale[..., None]
+    return rad
+
+
+def render_frame(scene, textures, cam, frame_seed, width: int, height: int,
+                 cfg: RenderConfig, spp: int | None = None, pixel_idx=None):
+    """Sum ``spp`` independent 1-spp passes -> radiance sum [N, 3].
+
+    The reference accumulates one sample per kernel launch with the
+    frame counter as the seed (main.cpp:181, renderer.cu:326); seeds
+    here are ``1984 + frame*spp + s`` so any (frame, spp) tiling of
+    the same total sample count yields the same set of RNG streams.
+    """
+    spp = cfg.spp if spp is None else spp
+    frame_seed = jnp.asarray(frame_seed).astype(jnp.uint32)
+    n = width * height if pixel_idx is None else pixel_idx.shape[0]
+
+    def body(s, acc):
+        seed = (jnp.uint32(1984) + frame_seed * jnp.uint32(spp)
+                + jnp.uint32(s))
+        return acc + render_sample(scene, textures, cam, seed,
+                                   width, height, cfg, pixel_idx)
+
+    acc0 = jnp.zeros((n, 3), jnp.float32)
+    if spp == 1:
+        return body(0, acc0)
+    return jax.lax.fori_loop(0, spp, body, acc0)

@@ -1,0 +1,145 @@
+"""Minimal Wavefront OBJ loader.
+
+Parity target: load_obj (reference loader.cpp:22-103).  Semantics
+preserved exactly:
+
+- only ``v x y z`` and ``f i j k`` lines are parsed;
+- the model->world transform is baked at load time
+  (``v*scale + offset``, loader.cpp:48-54);
+- faces with slash syntax / quads / parse failures are silently
+  skipped (loader.cpp:65-68);
+- out-of-range (1-based) indices skip the face (loader.cpp:71-74);
+- loaded triangles get ``tex_id = -1`` (loader.cpp:84-92) and no
+  emission.
+
+A native C++ parser (csrc/) accelerates large meshes; this module
+falls back to pure Python when the extension is unavailable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tryraytrace_tpu.scene.model import Object
+
+
+def parse_obj_arrays(path) -> tuple[np.ndarray, np.ndarray]:
+    """Parse an OBJ file -> (vertices [V,3] f32, faces [F,3] i32, 0-based).
+
+    Face rows are guaranteed in-range.
+    """
+    from tryraytrace_tpu import native
+
+    if native.available():
+        parsed = native.parse_obj(path)
+        if parsed is not None:
+            return parsed
+    return _parse_obj_python(path)
+
+
+def _parse_obj_python(path) -> tuple[np.ndarray, np.ndarray]:
+    verts: list[tuple[float, float, float]] = []
+    faces: list[tuple[int, int, int]] = []
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            if line.startswith("v "):
+                # The reference never checks the sscanf("v %f %f %f")
+                # result (loader.cpp:49), so a malformed vertex line
+                # still occupies an index slot.  Preserve the count:
+                # unparseable components become 0.0 instead of the
+                # reference's uninitialized garbage.
+                parts = line.split()
+                xyz = [0.0, 0.0, 0.0]
+                for k in range(3):
+                    if k + 1 < len(parts):
+                        try:
+                            xyz[k] = float(parts[k + 1])
+                        except ValueError:
+                            break
+                verts.append(tuple(xyz))
+            elif line.startswith("f "):
+                parts = line.split()
+                # Exact sscanf("f %d %d %d") semantics (loader.cpp:63):
+                # a non-digit suffix on a token (e.g. "1/1") makes the
+                # *next* %d fail on the leftover '/', so the first two
+                # index tokens must be pure integers while the third
+                # only needs a leading integer; extra tokens ("f 1 2 3 4")
+                # are ignored, so quads degrade to their first triangle.
+                if len(parts) < 4:
+                    continue
+                i0 = _pure_int(parts[1])
+                i1 = _pure_int(parts[2]) if i0 is not None else None
+                i2 = _leading_int(parts[3]) if i1 is not None else None
+                if i2 is None:
+                    continue
+                idx = (i0, i1, i2)
+                if any(i < 1 or i > len(verts) for i in idx):
+                    continue  # loader.cpp:71-74
+                faces.append((idx[0] - 1, idx[1] - 1, idx[2] - 1))
+    v = np.array(verts, dtype=np.float32).reshape(-1, 3)
+    fc = np.array(faces, dtype=np.int32).reshape(-1, 3)
+    return v, fc
+
+
+def _pure_int(tok: str):
+    try:
+        return int(tok)
+    except ValueError:
+        return None
+
+
+def _leading_int(tok: str):
+    i = 0
+    if i < len(tok) and tok[i] in "+-":
+        i += 1
+    j = i
+    while j < len(tok) and tok[j].isdigit():
+        j += 1
+    if j == i:
+        return None
+    return int(tok[: j])
+
+
+def load_obj(
+    path,
+    objects: list[Object],
+    offset=(0.0, 0.0, 0.0),
+    scale: float = 1.0,
+    albedo=(0.75, 0.75, 0.75),
+    metallic: float = 0.0,
+    roughness: float = 1.0,
+) -> int:
+    """Append the mesh's triangles to ``objects``; returns count added.
+
+    Missing files print an error and add nothing (loader.cpp:27-30).
+    """
+    try:
+        verts, faces = parse_obj_arrays(path)
+    except OSError:
+        print(f"[Loader Error] Cannot open file: {path}")
+        return 0
+    verts = verts * np.float32(scale) + np.asarray(offset, dtype=np.float32)
+    for a, b, c in faces:
+        objects.append(
+            Object(
+                v0=tuple(verts[a]),
+                v1=tuple(verts[b]),
+                v2=tuple(verts[c]),
+                albedo=tuple(np.asarray(albedo, dtype=np.float32)),
+                metallic=metallic,
+                roughness=roughness,
+                tex_id=-1,
+            )
+        )
+    print(f"[Loader] Loaded: {path} ({verts.shape[0]} vertices, {faces.shape[0]} faces)")
+    return int(faces.shape[0])
+
+
+def load_obj_soa(path, offset=(0.0, 0.0, 0.0), scale: float = 1.0):
+    """Vectorized variant: returns (v0, v1, v2) [F,3] f32 world-space.
+
+    Avoids the per-triangle Python Object churn for large meshes.
+    """
+    verts, faces = parse_obj_arrays(path)
+    verts = verts * np.float32(scale) + np.asarray(offset, dtype=np.float32)
+    return verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
