@@ -40,15 +40,24 @@ AABB_PAD = np.float32(1e-3)  # bvh.cpp:21-27
 
 @dataclasses.dataclass
 class LinearBVH:
-    """Flat threaded BVH. ``M = 2n - 1`` nodes, preorder layout."""
+    """Flat threaded BVH, preorder layout.
 
-    bounds: np.ndarray     # [M, 6] f32: min xyz, max xyz
-    leaf_prim: np.ndarray  # [M] i32: primitive index if leaf, else -1
-    miss: np.ndarray       # [M] i32: preorder skip pointer; M = done
-    left: np.ndarray       # [M] i32: left child (-1 for leaf)   [debug/tests]
-    right: np.ndarray      # [M] i32: right child (-1 for leaf)  [debug/tests]
-    axis: np.ndarray       # [M] i32: split axis (debug parity, bvh.h:26)
-    perm: np.ndarray       # [N] i32: perm[slot] = original primitive index
+    With ``leaf_size=1`` (the reference's singleton-leaf shape,
+    bvh.cpp:67-72) there are exactly ``2n - 1`` nodes.  Fat leaves
+    (``leaf_size > 1``) hold up to that many *contiguous* primitives;
+    they trade tree depth for per-visit work, which is the right
+    trade on TPU where the per-visit row fetch is the cost unit and
+    in-row vector math is effectively free.
+    """
+
+    bounds: np.ndarray      # [M, 6] f32: min xyz, max xyz
+    leaf_prim: np.ndarray   # [M] i32: first primitive slot if leaf, else -1
+    leaf_count: np.ndarray  # [M] i32: primitives in leaf (0 for internal)
+    miss: np.ndarray        # [M] i32: preorder skip pointer; M = done
+    left: np.ndarray        # [M] i32: left child (-1 for leaf)   [debug/tests]
+    right: np.ndarray       # [M] i32: right child (-1 for leaf)  [debug/tests]
+    axis: np.ndarray        # [M] i32: split axis (debug parity, bvh.h:26)
+    perm: np.ndarray        # [N] i32: perm[slot] = original primitive index
 
     @property
     def num_nodes(self) -> int:
@@ -87,17 +96,17 @@ def centroids(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> np.ndarray:
 
 
 def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
-              use_native: bool = True) -> LinearBVH:
+              use_native: bool = True, leaf_size: int = 1) -> LinearBVH:
     n = int(v0.shape[0])
     if n == 0:
         e = np.empty
         return LinearBVH(e((0, 6), np.float32), e(0, np.int32), e(0, np.int32),
                          e(0, np.int32), e(0, np.int32), e(0, np.int32),
-                         e(0, np.int32))
+                         e(0, np.int32), e(0, np.int32))
     pb = primitive_bounds(v0, v1, v2)
     cent = centroids(v0, v1, v2)
 
-    if use_native:
+    if use_native and leaf_size == 1:
         from tryraytrace_tpu import native
 
         if native.available():
@@ -106,14 +115,32 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
                 perm, node_bounds, leaf_prim, miss, m = res
                 return _rebuild_links(node_bounds, leaf_prim, miss, perm)
 
-    return _build_python(pb, cent)
+    return _build_python(pb, cent, leaf_size)
 
 
-def _build_python(pb: np.ndarray, cent: np.ndarray) -> LinearBVH:
+def _num_nodes(m: int, leaf_size: int, cache: dict) -> int:
+    """Node count of a median-split-by-count subtree over m prims."""
+    got = cache.get(m)
+    if got is not None:
+        return got
+    if m <= leaf_size:
+        result = 1
+    else:
+        half = m // 2
+        result = 1 + _num_nodes(half, leaf_size, cache) + _num_nodes(
+            m - half, leaf_size, cache)
+    cache[m] = result
+    return result
+
+
+def _build_python(pb: np.ndarray, cent: np.ndarray,
+                  leaf_size: int = 1) -> LinearBVH:
     n = pb.shape[0]
-    m = 2 * n - 1
+    count_cache: dict = {}
+    m = _num_nodes(n, leaf_size, count_cache)
     bounds = np.empty((m, 6), dtype=np.float32)
     leaf_prim = np.full(m, -1, dtype=np.int32)
+    leaf_count = np.zeros(m, dtype=np.int32)
     miss = np.full(m, m, dtype=np.int32)
     left = np.full(m, -1, dtype=np.int32)
     right = np.full(m, -1, dtype=np.int32)
@@ -121,9 +148,10 @@ def _build_python(pb: np.ndarray, cent: np.ndarray) -> LinearBVH:
     order = np.arange(n, dtype=np.int64)
 
     # Iterative preorder build; the work stack carries (start, end,
-    # miss_link).  Because allocation order is preorder and subtree
-    # sizes are known (2k-1), a stack processed LIFO with right pushed
-    # first yields exactly the reference's depth-first node numbering.
+    # miss_link).  Allocation order is preorder, and subtree node
+    # counts are deterministic (median split by count), so the right
+    # child's index is known before the left subtree is built --
+    # that's what lets miss links resolve in one pass.
     stack = [(0, n, m)]
     next_node = 0
     while stack:
@@ -137,8 +165,9 @@ def _build_python(pb: np.ndarray, cent: np.ndarray) -> LinearBVH:
         bounds[idx, :3] = lo
         bounds[idx, 3:] = hi
         miss[idx] = miss_link
-        if end - start == 1:
+        if end - start <= leaf_size:
             leaf_prim[idx] = start  # post-permutation slot
+            leaf_count[idx] = end - start
             continue
         # Split axis: longest extent, reference tie-break (bvh.cpp:76-79).
         size = hi - lo
@@ -153,20 +182,142 @@ def _build_python(pb: np.ndarray, cent: np.ndarray) -> LinearBVH:
         order[start:end] = seg_sorted
         mid = start + (end - start) // 2
         left_idx = idx + 1
-        right_idx = idx + 2 * (mid - start)  # preorder: after left subtree
+        right_idx = idx + 1 + _num_nodes(mid - start, leaf_size, count_cache)
         left[idx] = left_idx
         right[idx] = right_idx
         # LIFO: push right first so left is processed (allocated) next.
         stack.append((mid, end, miss_link))
         stack.append((start, mid, right_idx))
 
-    return LinearBVH(bounds, leaf_prim, miss, left, right, axis_arr,
-                     order.astype(np.int32))
+    return LinearBVH(bounds, leaf_prim, leaf_count, miss, left, right,
+                     axis_arr, order.astype(np.int32))
+
+
+def thread_octant(bvh: LinearBVH, octant: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-octant threading: (next_hit, next_miss) int32[M].
+
+    For ray-direction octant ``octant`` (bit k set = d_k < 0), the DFS
+    order at every internal node descends into the geometrically
+    *near* child first: children are median-split along the node's
+    axis with the left child on the low-coordinate side (bvh.cpp
+    sorts ascending), so near = left iff the ray points positive on
+    that axis.  Near-first order makes the t_max pruning in the
+    traversal (renderer.cu:402 semantics) actually cut work -- the
+    reference's fixed left-first push order never did.
+
+    Closest-hit results are order-independent (strict < on t), so
+    this is a pure performance transform.
+    """
+    m = bvh.num_nodes
+    next_hit = np.full(m, m, np.int32)
+    next_miss = np.full(m, m, np.int32)
+    if m == 0:
+        return next_hit, next_miss
+    stack = [(0, m)]
+    while stack:
+        n, cont = stack.pop()
+        next_miss[n] = cont
+        if bvh.leaf_prim[n] >= 0:
+            next_hit[n] = cont
+            continue
+        neg = (octant >> int(bvh.axis[n])) & 1
+        near, far = ((int(bvh.right[n]), int(bvh.left[n])) if neg
+                     else (int(bvh.left[n]), int(bvh.right[n])))
+        next_hit[n] = near
+        stack.append((far, cont))
+        stack.append((near, far))
+    return next_hit, next_miss
+
+
+NUM_OCTANTS = 8
+
+
+def traversal_row_width(leaf_size: int) -> int:
+    """bounds(6) + K inline triangles (9K) + prim_start + prim_count +
+    next_hit[8] + next_miss[8] = 9K + 24 floats per row."""
+    return 9 * leaf_size + 24
+
+
+def pack_traversal_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
+                         v2: np.ndarray,
+                         leaf_size: int | None = None) -> np.ndarray:
+    """Fused traversal rows: float32[M, 9K + 24].
+
+    One HBM row fetch per node visit feeds everything a traversal
+    step needs: the AABB test (cols 0:6), up to K inline leaf
+    triangles for Moller-Trumbore (cols 6:6+9K -- leaf primitives are
+    contiguous after the build's reorder, so ids are prim_start + j),
+    and the per-octant threaded continuations (last 16 cols, absolute
+    node ids with sentinel M = done).  Measured on TPU v5e, a gather's
+    cost is ~4 ns/lane *independent of row width* (4..112 floats) as
+    long as the table stays small (<~3 MB), so wide fat-leaf rows are
+    effectively free and the only thing that matters is the number of
+    node visits -- which fat leaves reduce.
+    """
+    m = bvh.num_nodes
+    k = int(leaf_size if leaf_size is not None
+            else max(1, bvh.leaf_count.max() if m else 1))
+    w = traversal_row_width(k)
+    if m == 0:
+        return np.zeros((0, w), np.float32)
+    if m and bvh.leaf_count.max() > k:
+        raise ValueError(f"leaf_size {k} < max leaf count {bvh.leaf_count.max()}")
+    table = np.zeros((m, w), np.float32)
+    table[:, 0:6] = bvh.bounds
+
+    tri_cat = np.concatenate([v0, v1, v2], axis=-1)  # [T, 9]
+    leaf_nodes = np.nonzero(bvh.leaf_count > 0)[0]
+    for node in leaf_nodes:
+        start = int(bvh.leaf_prim[node])
+        cnt = int(bvh.leaf_count[node])
+        table[node, 6:6 + 9 * cnt] = tri_cat[start:start + cnt].reshape(-1)
+    col = 6 + 9 * k
+    table[:, col] = bvh.leaf_prim.astype(np.float32)       # prim_start (-1 internal)
+    table[:, col + 1] = bvh.leaf_count.astype(np.float32)  # prim_count
+    for o in range(NUM_OCTANTS):
+        nh, nm = thread_octant(bvh, o)
+        table[:, col + 2 + o] = nh.astype(np.float32)
+        table[:, col + 10 + o] = nm.astype(np.float32)
+    return table
+
+
+# Packed hit-data row layout (float32[24]): everything shading needs
+# about the hit primitive in one gather.
+TRIMAT_WIDTH = 24
+TM_TRI = slice(0, 9)          # v0 v1 v2
+TM_ALBEDO = slice(9, 12)
+TM_EMISSION = slice(12, 15)
+TM_METALLIC = 15
+TM_ROUGHNESS = 16
+TM_IOR = 17
+TM_TRANSMISSION = 18
+TM_TEX_ID = 19
+TM_AREA = 20                  # precomputed triangle area (NEE pdf)
+
+
+def pack_trimat_table(arrays) -> np.ndarray:
+    """Fused triangle+material rows float32[T, 24] (BVH prim order)."""
+    t = arrays.tri_v0.shape[0]
+    out = np.zeros((t, TRIMAT_WIDTH), np.float32)
+    out[:, TM_TRI] = np.concatenate(
+        [arrays.tri_v0, arrays.tri_v1, arrays.tri_v2], axis=-1)
+    out[:, TM_ALBEDO] = arrays.albedo
+    out[:, TM_EMISSION] = arrays.emission
+    out[:, TM_METALLIC] = arrays.metallic
+    out[:, TM_ROUGHNESS] = arrays.roughness
+    out[:, TM_IOR] = arrays.ior
+    out[:, TM_TRANSMISSION] = arrays.transmission
+    out[:, TM_TEX_ID] = arrays.tex_id.astype(np.float32)
+    e1 = arrays.tri_v1 - arrays.tri_v0
+    e2 = arrays.tri_v2 - arrays.tri_v0
+    cr = np.cross(e1, e2)
+    out[:, TM_AREA] = 0.5 * np.sqrt((cr * cr).sum(-1))
+    return out
 
 
 def _rebuild_links(bounds, leaf_prim, miss, perm) -> LinearBVH:
     """Derive left/right/axis from a (bounds, leaf_prim, miss) triple
-    produced by the native builder (preorder layout)."""
+    produced by the native builder (preorder layout, singleton leaves)."""
     m = bounds.shape[0]
     left = np.full(m, -1, dtype=np.int32)
     right = np.full(m, -1, dtype=np.int32)
@@ -175,6 +326,7 @@ def _rebuild_links(bounds, leaf_prim, miss, perm) -> LinearBVH:
     left[idx] = idx + 1
     # right child = miss link of the left child's subtree root.
     right[idx] = miss[idx + 1]
+    leaf_count = (~internal).astype(np.int32)
     return LinearBVH(bounds.astype(np.float32), leaf_prim.astype(np.int32),
-                     miss.astype(np.int32), left, right,
+                     leaf_count, miss.astype(np.int32), left, right,
                      np.zeros(m, np.int32), perm.astype(np.int32))

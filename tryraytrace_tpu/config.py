@@ -45,6 +45,12 @@ class RenderConfig:
     # (renderer.cu:387); for the threaded traversal it only caps the
     # equivalent tree depth used to bound the step count.
     max_bvh_depth: int = 32
+    # Triangles per fat leaf in the engine's traversal table.  The
+    # reference uses singleton leaves (bvh.cpp:67-72); on TPU the
+    # per-node-visit row fetch is the cost unit and in-row math is
+    # free, so fat leaves cut visits at no per-step cost.  Results are
+    # identical (closest-hit is order-independent).
+    bvh_leaf_size: int = 8
 
     # Planar texture mapping (reference renderer.cu:465-481).
     tex_planar_scale: float = 0.01

@@ -14,7 +14,12 @@ import dataclasses
 import jax
 import numpy as np
 
-from tryraytrace_tpu.accel.bvh import LinearBVH, build_bvh
+from tryraytrace_tpu.accel.bvh import (
+    LinearBVH,
+    build_bvh,
+    pack_traversal_table,
+    pack_trimat_table,
+)
 from tryraytrace_tpu.scene.model import SceneArrays
 
 
@@ -38,7 +43,10 @@ class DeviceScene:
     bvh_bounds: jax.Array      # [M, 6]
     bvh_leaf_prim: jax.Array   # [M]
     bvh_miss: jax.Array        # [M]
+    node_table: jax.Array      # [M, 9K+24] fused fat-leaf traversal rows
+    trimat: jax.Array          # [T, 24] fused triangle+material rows
     num_lights: int = dataclasses.field(metadata=dict(static=True))
+    leaf_size: int = dataclasses.field(metadata=dict(static=True), default=8)
 
     @property
     def num_objects(self) -> int:
@@ -50,7 +58,8 @@ class DeviceScene:
 
 
 def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
-                 device_put=True) -> tuple[DeviceScene, tuple, LinearBVH]:
+                 device_put=True, leaf_size: int = 8
+                 ) -> tuple[DeviceScene, tuple, LinearBVH]:
     """Build the BVH (reordering primitives, main.cpp:82-86 contract),
     then assemble the device pytree.
 
@@ -58,7 +67,9 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
     separately because their shapes vary per scene.
     """
     if bvh is None:
-        bvh = build_bvh(arrays.tri_v0, arrays.tri_v1, arrays.tri_v2)
+        bvh = build_bvh(arrays.tri_v0, arrays.tri_v1, arrays.tri_v2,
+                        leaf_size=leaf_size)
+    leaf_size = int(max(1, bvh.leaf_count.max())) if bvh.num_nodes else 1
     ordered = arrays.permuted(bvh.perm) if bvh.perm.size else arrays
 
     n_lights = ordered.num_lights
@@ -83,7 +94,12 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
         bvh_bounds=put(bvh.bounds),
         bvh_leaf_prim=put(bvh.leaf_prim),
         bvh_miss=put(bvh.miss),
+        node_table=put(pack_traversal_table(
+            bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
+            leaf_size=leaf_size)),
+        trimat=put(pack_trimat_table(ordered)),
         num_lights=n_lights,
+        leaf_size=leaf_size,
     )
     textures = tuple(put(t) for t in ordered.textures)
     return dev, textures, bvh

@@ -59,7 +59,8 @@ class Renderer:
         self.cfg = cfg if width is None else cfg.with_size(width, height)
         self.width = self.cfg.width
         self.height = self.cfg.height
-        self.scene, self.textures, self.bvh = upload_scene(arrays)
+        self.scene, self.textures, self.bvh = upload_scene(
+            arrays, leaf_size=self.cfg.bvh_leaf_size)
         self.state = RenderState.zeros(self.width * self.height)
         self.frame = 1  # gpu_frame counter parity (main.cpp:149)
 

@@ -33,18 +33,21 @@ from tryraytrace_tpu.core import rng, vec
 from tryraytrace_tpu.engine.camera_rays import generate_rays
 from tryraytrace_tpu.ops import shade
 from tryraytrace_tpu.ops.texture import sample_textures
-from tryraytrace_tpu.ops.traverse import any_hit, closest_hit
+from tryraytrace_tpu.ops.traverse import any_hit_packed, closest_hit_packed
 
 PI = np.float32(np.pi)
 
 
 def render_sample(scene, textures, cam, seed, width: int, height: int,
-                  cfg: RenderConfig, pixel_idx=None):
+                  cfg: RenderConfig, pixel_idx=None, with_stats: bool = False):
     """Trace one 1-spp pass for all pixels -> radiance [N, 3].
 
     ``seed`` is the per-sample uint32 seed; ``pixel_idx`` (optional
     [N] i32) supports sharded/tiled rendering -- RNG streams are keyed
     by absolute pixel index so tiling never changes the image.
+    ``with_stats=True`` additionally returns (rays_traced,
+    shadow_rays_traced) float32 scalars, the basis of the Mrays/s
+    benchmark metric.
     """
     n = width * height if pixel_idx is None else pixel_idx.shape[0]
     if pixel_idx is None:
@@ -61,54 +64,67 @@ def render_sample(scene, textures, cam, seed, width: int, height: int,
         jnp.zeros((n, 3), jnp.float32),            # radiance
         jnp.ones((n,), bool),                      # alive
         jnp.ones((n,), bool),                      # prev bounce specular
+        jnp.zeros((), jnp.float32),                # rays traced (stats)
+        jnp.zeros((), jnp.float32),                # shadow rays (stats)
     )
 
     def cond(c):
-        depth, *_, alive, _prev = c
-        return (depth < cfg.max_depth) & jnp.any(alive)
+        alive = c[5]
+        return (c[0] < cfg.max_depth) & jnp.any(alive)
 
     def body(c):
-        depth, o, d, tp, rad, alive, prev_spec = c
-        o, d, tp, rad, alive, prev_spec = _bounce(
+        depth, o, d, tp, rad, alive, prev_spec, n_traced, n_shadow = c
+        n_traced = n_traced + alive.sum().astype(jnp.float32)
+        o, d, tp, rad, alive, prev_spec, shadow = _bounce(
             scene, textures, seed, pixel_idx, depth,
             o, d, tp, rad, alive, prev_spec, cfg,
         )
-        return depth + 1, o, d, tp, rad, alive, prev_spec
+        return (depth + 1, o, d, tp, rad, alive, prev_spec,
+                n_traced, n_shadow + shadow)
 
-    *_, rad, _alive, _prev = jax.lax.while_loop(cond, body, carry)
-    return _sanitize(rad, cfg)
+    (_, _, _, _, rad, _alive, _prev,
+     n_traced, n_shadow) = jax.lax.while_loop(cond, body, carry)
+    rad = _sanitize(rad, cfg)
+    if with_stats:
+        return rad, (n_traced, n_shadow)
+    return rad
 
 
 def _bounce(scene, textures, seed, pixel_idx, depth,
             o, d, tp, rad, alive, prev_spec, cfg: RenderConfig):
-    """One wavefront bounce: traverse, shade, NEE, next-ray selection."""
-    t, hit_id = closest_hit(
-        scene.bvh_bounds, scene.bvh_leaf_prim, scene.bvh_miss,
-        scene.tri_v0, scene.tri_v1, scene.tri_v2, o, d, alive,
-    )
+    """One wavefront bounce: traverse, shade, NEE, next-ray selection.
+
+    Traversal and hit-data fetches go through the fused row tables
+    (accel/bvh.py): one gather per node visit, one gather for all
+    shading inputs -- HBM random-row fetches are the measured cost
+    unit on TPU, so fewer/wider beats many/narrow.
+    """
+    t, hit_id = closest_hit_packed(scene.node_table, scene.leaf_size,
+                                   o, d, alive)
     alive = alive & (hit_id >= 0)  # miss -> path ends (renderer.cu:427)
     sid = jnp.maximum(hit_id, 0)
 
-    v0 = scene.tri_v0[sid]
-    v1 = scene.tri_v1[sid]
-    v2 = scene.tri_v2[sid]
+    hitrow = scene.trimat[sid]
+    v0 = hitrow[:, 0:3]
+    v1 = hitrow[:, 3:6]
+    v2 = hitrow[:, 6:9]
     x_hit = o + d * t[..., None]
 
     # Face normal, two-sided flip (renderer.cu:441-446).
     nrm = vec.norm(vec.cross(v1 - v0, v2 - v0, jnp), jnp)
     nl = jnp.where((vec.dot(nrm, d, jnp) < 0.0)[..., None], nrm, -nrm)
 
-    albedo = scene.albedo[sid]
-    metallic = scene.metallic[sid]
-    roughness = scene.roughness[sid]
-    transmission = scene.transmission[sid]
-    ior = scene.ior[sid]
-    emission = scene.emission[sid]
+    albedo = hitrow[:, 9:12]
+    emission = hitrow[:, 12:15]
+    metallic = hitrow[:, 15]
+    roughness = hitrow[:, 16]
+    ior = hitrow[:, 17]
+    transmission = hitrow[:, 18]
 
     # Planar-projection texture modulation (renderer.cu:463-481).
     if textures:
         factor = sample_textures(
-            textures, scene.tex_id[sid], x_hit, nrm,
+            textures, hitrow[:, 19].astype(jnp.int32), x_hit, nrm,
             jnp.float32(cfg.tex_planar_scale),
         )
         albedo = albedo * factor
@@ -165,9 +181,11 @@ def _bounce(scene, textures, seed, pixel_idx, depth,
     o_trans = x_hit + d_trans * np.float32(cfg.refr_offset)
 
     # --- Branch C: diffuse + NEE (renderer.cu:651-733) ---
+    n_shadow = jnp.zeros((), jnp.float32)
     if scene.num_lights > 0:
-        rad = rad + _nee_contribution(
+        nee_rad, n_shadow = _nee_contribution(
             scene, seed, pixel_idx, base, x_hit, nl, albedo, tp, m_diff, cfg)
+        rad = rad + nee_rad
     d_diff = shade.cosine_hemisphere(nl, u_d1, u_d2)
     p_diff = 1.0 - p_spec - (1.0 - p_spec) * transmission  # renderer.cu:727
     tp_diff = (tp * (albedo * (1.0 - metallic)[..., None])
@@ -186,7 +204,7 @@ def _bounce(scene, textures, seed, pixel_idx, depth,
     alive = alive & ~(m_spec & kill_spec)
     prev_spec = jnp.where(m_spec | m_trans, True,
                           jnp.where(m_diff, False, prev_spec))
-    return o, d, tp, rad, alive, prev_spec
+    return o, d, tp, rad, alive, prev_spec, n_shadow
 
 
 def _nee_contribution(scene, seed, pixel_idx, base, x_hit, nl, albedo, tp,
@@ -205,9 +223,10 @@ def _nee_contribution(scene, seed, pixel_idx, base, x_hit, nl, albedo, tp,
     pick = (u4 * (lcount - 0.001)).astype(jnp.int32)
     pick = jnp.clip(pick, 0, lcount - 1)
     li = scene.light_indices[pick]
-    lv0 = scene.tri_v0[li]
-    lv1 = scene.tri_v1[li]
-    lv2 = scene.tri_v2[li]
+    lrow = scene.trimat[li]
+    lv0 = lrow[:, 0:3]
+    lv1 = lrow[:, 3:6]
+    lv2 = lrow[:, 6:9]
 
     light_pos = shade.sample_triangle(lv0, lv1, lv2, u5, u6)
     to_light = light_pos - x_hit
@@ -223,19 +242,19 @@ def _nee_contribution(scene, seed, pixel_idx, base, x_hit, nl, albedo, tp,
     geo_ok = m_diff & (cos_theta > 0.0) & (cos_light > 0.0)
 
     shadow_o = x_hit + nl * np.float32(cfg.shadow_eps)
-    occluded = any_hit(
-        scene.bvh_bounds, scene.bvh_leaf_prim, scene.bvh_miss,
-        scene.tri_v0, scene.tri_v1, scene.tri_v2,
-        shadow_o, l_dir, dist - np.float32(cfg.shadow_max_dist_eps), geo_ok,
+    occluded = any_hit_packed(
+        scene.node_table, scene.leaf_size, shadow_o, l_dir,
+        dist - np.float32(cfg.shadow_max_dist_eps), geo_ok,
     )
     lit = geo_ok & ~occluded
 
-    area = shade.triangle_area(lv0, lv1, lv2)
+    area = lrow[:, 20]  # precomputed triangle_area (renderer.cu:188-192)
     pdf = 1.0 / (area * lcount)
     g_term = (cos_theta * cos_light) / dist_sq
     brdf = albedo * (1.0 / PI)
-    contrib = scene.emission[li] * brdf * (g_term / pdf)[..., None]
-    return jnp.where(lit[..., None], tp * contrib, 0.0)
+    contrib = lrow[:, 12:15] * brdf * (g_term / pdf)[..., None]
+    return (jnp.where(lit[..., None], tp * contrib, 0.0),
+            geo_ok.sum().astype(jnp.float32))
 
 
 def _sanitize(rad, cfg: RenderConfig):
@@ -278,3 +297,20 @@ def render_frame(scene, textures, cam, frame_seed, width: int, height: int,
     if spp == 1:
         return body(0, acc0)
     return jax.lax.fori_loop(0, spp, body, acc0)
+
+
+def frame_ray_stats(scene, textures, cam, frame_seed, width: int,
+                    height: int, cfg: RenderConfig, spp: int):
+    """Total (path rays, shadow rays) traced for one frame -- the ray
+    count that, divided by frame time, gives Mrays/s (BASELINE.md)."""
+    frame_seed = jnp.asarray(frame_seed).astype(jnp.uint32)
+
+    def body(s, acc):
+        seed = (jnp.uint32(1984) + frame_seed * jnp.uint32(spp)
+                + jnp.uint32(s))
+        _, (tr, sh) = render_sample(scene, textures, cam, seed, width,
+                                    height, cfg, with_stats=True)
+        return acc[0] + tr, acc[1] + sh
+
+    zero = jnp.zeros((), jnp.float32)
+    return jax.lax.fori_loop(0, spp, body, (zero, zero))

@@ -33,6 +33,131 @@ from tryraytrace_tpu.ops.intersect import moller_trumbore
 
 MISS_T = jnp.float32(1e20)  # renderer.cu:380
 
+def ray_octant(r_d, xp=jnp):
+    """Direction octant (bit k set iff d_k < 0) -> int32 [N]."""
+    return ((r_d[..., 0] < 0).astype(xp.int32)
+            | ((r_d[..., 1] < 0).astype(xp.int32) << 1)
+            | ((r_d[..., 2] < 0).astype(xp.int32) << 2))
+
+
+def _decode_links(row, octant, k: int, xp=jnp):
+    """Per-ray (next_hit, next_miss) from the row's 16 octant-link
+    columns, selected arithmetically (one-hot multiply-add -- free
+    fused VPU work, avoiding a second gather)."""
+    col = 6 + 9 * k + 2
+    nh = jnp.zeros(row.shape[0], jnp.float32)
+    nm = jnp.zeros(row.shape[0], jnp.float32)
+    for o in range(8):
+        sel = (octant == o).astype(jnp.float32)
+        nh = nh + sel * row[:, col + o]
+        nm = nm + sel * row[:, col + 8 + o]
+    return nh.astype(jnp.int32), nm.astype(jnp.int32)
+
+
+def _leaf_intersect(row, k: int, r_o, r_d, prim_start, prim_count,
+                    window):
+    """MT-test the <=K inline leaf triangles of each row, returning the
+    closest (t, prim_id) inside ``window(t) -> bool per lane``.  The K
+    tests are unrolled elementwise math over the gathered row --
+    measured free next to the row fetch itself."""
+    n = r_o.shape[0]
+    best_t = jnp.full((n,), MISS_T)
+    best_id = jnp.full((n,), -1, jnp.int32)
+    for j in range(k):
+        base = 6 + 9 * j
+        t = moller_trumbore(row[:, base:base + 3], row[:, base + 3:base + 6],
+                            row[:, base + 6:base + 9], r_o, r_d)
+        ok = (j < prim_count) & (t > 0.0) & window(t) & (t < best_t)
+        best_t = jnp.where(ok, t, best_t)
+        best_id = jnp.where(ok, prim_start + j, best_id)
+    return best_t, best_id
+
+
+def closest_hit_packed(table, k: int, r_o, r_d, active):
+    """Closest-hit over the fused fat-leaf table [M, 9K+24].
+
+    Semantics identical to ``closest_hit`` (same pruning window, same
+    strict-< update, leaf primitives tested in array order); the
+    visit order is the near-child-first octant order, which only
+    changes exact-tie winners.  One HBM row gather per (ray, visited
+    node) -- the measured cost unit on TPU v5e (~4 ns/lane/step).
+    """
+    n = r_o.shape[0]
+    sentinel = table.shape[0]
+    if sentinel == 0:
+        return jnp.full((n,), MISS_T), jnp.full((n,), -1, jnp.int32)
+
+    inv_d = vec.safe_inv(r_d, jnp)
+    octant = ray_octant(r_d)
+    col_ps = 6 + 9 * k
+    cur0 = jnp.where(active, 0, sentinel).astype(jnp.int32)
+    state = (cur0, jnp.full((n,), MISS_T), jnp.full((n,), -1, jnp.int32))
+
+    def cond(s):
+        return jnp.any(s[0] < sentinel)
+
+    def body(s):
+        cur, d_min, hit_id = s
+        live = cur < sentinel
+        idx = jnp.minimum(cur, sentinel - 1)
+        row = table[idx]
+        hit = aabb_hit(row[:, :6], r_o, inv_d, jnp.float32(0.0), d_min) & live
+        prim_start = row[:, col_ps].astype(jnp.int32)
+        prim_count = row[:, col_ps + 1].astype(jnp.int32)
+        is_leaf = prim_start >= 0
+        lt, lid = _leaf_intersect(row, k, r_o, r_d, prim_start, prim_count,
+                                  lambda t: t < d_min)
+        take = hit & is_leaf & (lid >= 0)
+        d_min = jnp.where(take, lt, d_min)
+        hit_id = jnp.where(take, lid, hit_id)
+        nh, nm = _decode_links(row, octant, k)
+        nxt = jnp.where(hit & ~is_leaf, nh, nm)
+        cur = jnp.where(live, nxt, sentinel)
+        return cur, d_min, hit_id
+
+    _, d_min, hit_id = jax.lax.while_loop(cond, body, state)
+    return d_min, hit_id
+
+
+def any_hit_packed(table, k: int, r_o, r_d, max_dist, active):
+    """Shadow traversal over the fused table (trace_shadow parity:
+    plain 1/d, constant (0.001, max_dist) window, early exit)."""
+    n = r_o.shape[0]
+    sentinel = table.shape[0]
+    if sentinel == 0:
+        return jnp.zeros((n,), bool)
+
+    inv_d = (1.0 / r_d).astype(jnp.float32)
+    octant = ray_octant(r_d)
+    col_ps = 6 + 9 * k
+    cur0 = jnp.where(active, 0, sentinel).astype(jnp.int32)
+    state = (cur0, jnp.zeros((n,), bool))
+
+    def cond(s):
+        return jnp.any(s[0] < sentinel)
+
+    def body(s):
+        cur, occluded = s
+        live = cur < sentinel
+        idx = jnp.minimum(cur, sentinel - 1)
+        row = table[idx]
+        hit = aabb_hit(row[:, :6], r_o, inv_d, jnp.float32(1e-3),
+                       max_dist) & live
+        prim_start = row[:, col_ps].astype(jnp.int32)
+        prim_count = row[:, col_ps + 1].astype(jnp.int32)
+        is_leaf = prim_start >= 0
+        _, lid = _leaf_intersect(
+            row, k, r_o, r_d, prim_start, prim_count,
+            lambda t: (t > 1e-3) & (t < max_dist - 1e-3))
+        occluded = occluded | (hit & is_leaf & (lid >= 0))
+        nh, nm = _decode_links(row, octant, k)
+        nxt = jnp.where(hit & ~is_leaf, nh, nm)
+        cur = jnp.where(live & ~occluded, nxt, sentinel)
+        return cur, occluded
+
+    _, occluded = jax.lax.while_loop(cond, body, state)
+    return occluded
+
 
 def closest_hit(bounds, leaf_prim, miss, tri_v0, tri_v1, tri_v2,
                 r_o, r_d, active):

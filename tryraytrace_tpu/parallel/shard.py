@@ -1,0 +1,134 @@
+"""shard_map'd multi-chip rendering.
+
+One jitted step renders a frame over the (dp, sp) mesh:
+
+  - pixel indices are sharded along ``dp`` (each chip owns a block of
+    image rows; RNG streams are keyed by absolute pixel index so the
+    sharded image is bit-identical to the single-chip one);
+  - the spp loop is split along ``sp`` (chip k renders samples
+    [k*spp/sp, (k+1)*spp/sp) of the frame's sample set -- again the
+    same RNG streams, so identical accumulation);
+  - one ``psum`` over ``sp`` combines sample partials: the only
+    collective per frame.
+
+This is the XLA-collectives-over-ICI replacement for what a CUDA
+multi-GPU port would do with NCCL.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tryraytrace_tpu.config import RenderConfig
+from tryraytrace_tpu.engine.state import RenderState
+from tryraytrace_tpu.engine.wavefront import render_sample
+from tryraytrace_tpu.parallel.mesh import SAMPLE_AXIS, TILE_AXIS, make_mesh
+
+
+def render_frame_sharded(scene, textures, cam, frame_seed, width: int,
+                         height: int, cfg: RenderConfig, spp: int,
+                         mesh) -> jax.Array:
+    """Render one frame's radiance sum [N, 3], sharded over ``mesh``.
+
+    Requires width*height % dp == 0 and spp % sp == 0.
+    """
+    n = width * height
+    dp = mesh.shape[TILE_AXIS]
+    sp = mesh.shape[SAMPLE_AXIS]
+    if n % dp != 0:
+        raise ValueError(f"{n} pixels not divisible by dp={dp}")
+    if spp % sp != 0:
+        raise ValueError(f"spp={spp} not divisible by sp={sp}")
+    local_spp = spp // sp
+    frame_seed = jnp.asarray(frame_seed).astype(jnp.uint32)
+    pixel_idx = jnp.arange(n, dtype=jnp.int32)
+
+    def local(scene, textures, cam, frame_seed, pixels):
+        s_idx = jax.lax.axis_index(SAMPLE_AXIS).astype(jnp.uint32)
+
+        def body(s, acc):
+            sample = s_idx * jnp.uint32(local_spp) + jnp.uint32(s)
+            seed = (jnp.uint32(1984) + frame_seed * jnp.uint32(spp) + sample)
+            return acc + render_sample(scene, textures, cam, seed,
+                                       width, height, cfg, pixel_idx=pixels)
+
+        acc0 = jnp.zeros((pixels.shape[0], 3), jnp.float32)
+        acc = jax.lax.fori_loop(0, local_spp, body, acc0)
+        return jax.lax.psum(acc, SAMPLE_AXIS)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(TILE_AXIS)),
+        out_specs=P(TILE_AXIS),
+        # The traversal while_loops initialize carries from replicated
+        # constants that become shard-varying inside the body; that is
+        # intentional, so skip the varying-manual-axes check.
+        check_vma=False,
+    )
+    return fn(scene, textures, cam, frame_seed, pixel_idx)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "cfg", "spp", "mesh"),
+    donate_argnames=("state",),
+)
+def _sharded_step(scene, textures, cam, state, frame_seed, *,
+                  width, height, cfg, spp, mesh):
+    acc = render_frame_sharded(scene, textures, cam, frame_seed,
+                               width, height, cfg, spp, mesh)
+    return RenderState(state.accum + acc, state.spp + spp)
+
+
+class ShardedRenderer:
+    """Multi-chip progressive renderer (scene replicated, image
+    row-sharded, spp psum-reduced).  API mirrors engine.Renderer."""
+
+    def __init__(self, arrays, cfg: RenderConfig, mesh=None):
+        from tryraytrace_tpu.engine.device_scene import upload_scene
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.cfg = cfg
+        self.width, self.height = cfg.width, cfg.height
+        scene, textures, bvh = upload_scene(arrays, device_put=False,
+                                            leaf_size=cfg.bvh_leaf_size)
+        repl = NamedSharding(self.mesh, P())
+        self.scene = jax.device_put(scene, repl)
+        self.textures = tuple(jax.device_put(t, repl) for t in textures)
+        self.bvh = bvh
+        n = self.width * self.height
+        accum_sharding = NamedSharding(self.mesh, P(TILE_AXIS))
+        self.state = RenderState(
+            jax.device_put(np.zeros((n, 3), np.float32), accum_sharding),
+            jnp.int32(0),
+        )
+        self.frame = 1
+
+    def step(self, cam, spp: int | None = None) -> None:
+        spp = self.cfg.spp if spp is None else spp
+        self.state = _sharded_step(
+            self.scene, self.textures, cam, self.state,
+            jnp.uint32(self.frame), width=self.width, height=self.height,
+            cfg=self.cfg, spp=spp, mesh=self.mesh,
+        )
+        self.frame += 1
+
+    def reset(self) -> None:
+        self.state = self.state.reset()
+        self.frame = 1
+
+    def spp(self) -> int:
+        return int(self.state.spp)
+
+    def accum_host(self) -> np.ndarray:
+        return np.asarray(self.state.accum).reshape(
+            self.height, self.width, 3)
+
+    def block_until_ready(self) -> None:
+        jax.block_until_ready(self.state.accum)
