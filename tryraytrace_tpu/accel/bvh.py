@@ -112,8 +112,9 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         if native.available():
             res = native.bvh_build(cent, pb)
             if res is not None:
-                perm, node_bounds, leaf_prim, miss, m = res
-                return _rebuild_links(node_bounds, leaf_prim, miss, perm)
+                perm, node_bounds, leaf_prim, miss, axis, m = res
+                return _rebuild_links(node_bounds, leaf_prim, miss, axis,
+                                      perm)
 
     return _build_python(pb, cent, leaf_size)
 
@@ -315,8 +316,8 @@ def pack_trimat_table(arrays) -> np.ndarray:
     return out
 
 
-def _rebuild_links(bounds, leaf_prim, miss, perm) -> LinearBVH:
-    """Derive left/right/axis from a (bounds, leaf_prim, miss) triple
+def _rebuild_links(bounds, leaf_prim, miss, axis, perm) -> LinearBVH:
+    """Derive left/right from a (bounds, leaf_prim, miss, axis) tuple
     produced by the native builder (preorder layout, singleton leaves)."""
     m = bounds.shape[0]
     left = np.full(m, -1, dtype=np.int32)
@@ -329,4 +330,4 @@ def _rebuild_links(bounds, leaf_prim, miss, perm) -> LinearBVH:
     leaf_count = (~internal).astype(np.int32)
     return LinearBVH(bounds.astype(np.float32), leaf_prim.astype(np.int32),
                      leaf_count, miss.astype(np.int32), left, right,
-                     np.zeros(m, np.int32), perm.astype(np.int32))
+                     axis.astype(np.int32), perm.astype(np.int32))

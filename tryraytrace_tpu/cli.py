@@ -1,0 +1,220 @@
+"""Command-line interface: ``tpurt render | interactive | bench | info``.
+
+The reference has no CLI at all (main.cpp ignores argv; everything is
+a compile-time constant).  These commands drive the same phases as
+main.cpp -- scene -> BVH -> upload -> progressive loop -> snapshot --
+with the reference's constants as defaults (SURVEY.md section 5,
+config system), plus checkpoint/resume which the reference lacks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from tryraytrace_tpu.config import RenderConfig
+
+
+def _add_scene_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--scene", default="cornell",
+                   help="cornell | cornell-nomesh | empty")
+    p.add_argument("--obj", action="append", default=[],
+                   help="extra mesh: path[:scale[:ox,oy,oz]] (repeatable)")
+    p.add_argument("--width", type=int, default=1200)   # main.cpp:49
+    p.add_argument("--height", type=int, default=800)   # main.cpp:50
+    p.add_argument("--spp", type=int, default=1)
+    p.add_argument("--max-depth", type=int, default=30)
+    p.add_argument("--aperture", type=float, default=0.0)
+    p.add_argument("--focus", type=float, default=240.0)
+
+
+def build_scene_arrays(args):
+    from tryraytrace_tpu.scene.assets import checker_texture, find_asset
+    from tryraytrace_tpu.scene.cornell import create_cornell_box
+    from tryraytrace_tpu.scene.model import Scene, flatten_scene
+    from tryraytrace_tpu.scene.objloader import load_obj
+
+    if args.scene == "cornell":
+        scene = create_cornell_box()
+    elif args.scene == "cornell-nomesh":
+        scene = create_cornell_box(mesh=None)
+    elif args.scene == "empty":
+        scene = Scene()
+    else:
+        raise SystemExit(f"unknown scene {args.scene!r}")
+
+    for spec in args.obj:
+        parts = spec.split(":")
+        path = find_asset(parts[0]) or parts[0]
+        scale = float(parts[1]) if len(parts) > 1 else 1.0
+        offset = (tuple(float(x) for x in parts[2].split(","))
+                  if len(parts) > 2 else (0.0, 0.0, 0.0))
+        load_obj(path, scene.objects, offset=offset, scale=scale)
+
+    # earth.ppm is absent from the reference mount; substitute the
+    # checker stand-in so tex_id 0 renders (SURVEY.md section 0).
+    textures = None
+    if scene.texture_files:
+        from tryraytrace_tpu.scene.assets import find_asset as fa
+
+        textures = []
+        for f in scene.texture_files:
+            p = fa(f.split("/")[-1])
+            if p is not None:
+                from tryraytrace_tpu.io.ppm import load_ppm
+
+                textures.append(load_ppm(p).astype(np.float32) / 255.0)
+            else:
+                textures.append(checker_texture(256))
+    return flatten_scene(scene, textures=textures)
+
+
+def cmd_render(args) -> int:
+    from tryraytrace_tpu.camera.controller import CameraController
+    from tryraytrace_tpu.engine.renderer import Renderer
+    from tryraytrace_tpu.engine.state import load_checkpoint, save_checkpoint
+    from tryraytrace_tpu.io.ppm import save_ppm
+    from tryraytrace_tpu.io.snapshot import tonemap_accum
+    from tryraytrace_tpu.utils.logging import log_event
+    from tryraytrace_tpu.utils.profiling import PhaseTimer, mrays_per_sec
+
+    timer = PhaseTimer()
+    cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
+                       max_depth=args.max_depth)
+    with timer.phase("build+upload"):
+        arrays = build_scene_arrays(args)
+        r = Renderer(arrays, cfg=cfg)
+    cam = CameraController()
+    cam.aperture = args.aperture
+    cam.focus_dist = args.focus
+
+    if args.resume:
+        state, w, h, frame_seed, saved_cam = load_checkpoint(args.resume)
+        if (w, h) != (cfg.width, cfg.height):
+            raise SystemExit(f"checkpoint is {w}x{h}, requested "
+                             f"{cfg.width}x{cfg.height}")
+        import jax
+
+        r.state = jax.device_put(state)
+        r.frame = frame_seed
+        if saved_cam is not None:
+            cam = saved_cam
+        log_event("resume", path=args.resume, spp=r.spp())
+
+    params = cam.get_params(cfg.width, cfg.height)
+    t0 = time.time()
+    with timer.phase("render"):
+        for _ in range(args.frames):
+            r.step(params)
+        r.block_until_ready()
+    dt = time.time() - t0
+    log_event("render_done", frames=args.frames, spp=r.spp(),
+              ms_per_frame=round(dt / args.frames * 1e3, 2))
+
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint, r.state, cfg.width, cfg.height,
+                        camera=cam, frame_seed=r.frame)
+        log_event("checkpoint_saved", path=args.checkpoint)
+
+    with timer.phase("tonemap+write"):
+        img = tonemap_accum(r.accum_host(), max(r.spp(), 1))
+        save_ppm(args.out, img)
+    print(f"[tpurt] wrote {args.out} ({cfg.width}x{cfg.height}, "
+          f"{r.spp()} spp, {dt:.2f}s)")
+    print(timer.summary(), file=sys.stderr)
+    return 0
+
+
+def cmd_interactive(args) -> int:
+    from tryraytrace_tpu.display.app import App
+    from tryraytrace_tpu.display.input import ScriptedInput
+
+    cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
+                       max_depth=args.max_depth)
+    arrays = build_scene_arrays(args)
+    window = not args.headless
+    if window:
+        try:
+            import pygame  # noqa: F401
+        except ImportError:
+            print("[tpurt] pygame not available; running headless")
+            window = False
+    script = None
+    if args.script:
+        with open(args.script) as f:
+            script = ScriptedInput(json.load(f))
+    app = App(arrays, cfg, input_source=script, window=window,
+              out_dir=args.out_dir)
+    app.run(max_frames=args.frames)
+    print(f"[tpurt] displayed {app.frames_displayed} frames; "
+          f"snapshots: {app.snapshots}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench as bench_mod  # repo-root bench.py is the harness
+
+    sys.argv = ["bench.py",
+                "--width", str(args.width), "--height", str(args.height),
+                "--spp", str(args.spp), "--frames", str(args.frames)]
+    return bench_mod.main()
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    print(f"jax {jax.__version__}; devices: {jax.devices()}")
+    arrays = build_scene_arrays(args)
+    from tryraytrace_tpu.accel.bvh import build_bvh
+
+    bvh = build_bvh(arrays.tri_v0, arrays.tri_v1, arrays.tri_v2,
+                    leaf_size=8)
+    print(f"scene: {arrays.num_objects} triangles, "
+          f"{arrays.num_lights} lights, {len(arrays.textures)} textures")
+    print(f"bvh: {bvh.num_nodes} nodes, depth {bvh.max_depth()}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tpurt")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="offline progressive render -> PPM")
+    _add_scene_args(p)
+    p.add_argument("--frames", type=int, default=16,
+                   help="progressive passes (each adds --spp samples)")
+    p.add_argument("--out", default="out.ppm")
+    p.add_argument("--checkpoint", default=None,
+                   help="save accumulator+camera to .npz after rendering")
+    p.add_argument("--resume", default=None,
+                   help="resume from a checkpoint .npz")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("interactive", help="windowed/headless game loop")
+    _add_scene_args(p)
+    p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--headless", action="store_true")
+    p.add_argument("--script", default=None,
+                   help="JSON input script (see display/input.py)")
+    p.add_argument("--out-dir", default=".")
+    p.set_defaults(fn=cmd_interactive)
+
+    p = sub.add_parser("bench", help="performance benchmark (JSON line)")
+    _add_scene_args(p)
+    p.add_argument("--frames", type=int, default=3)
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("info", help="device + scene info")
+    _add_scene_args(p)
+    p.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,122 @@
+"""Application loop: the main.cpp analogue.
+
+Reproduces the reference game loop's phase structure (main.cpp:152-223):
+  A input -> (camera move? reset accumulation) ->
+  B render dispatch (async) ->
+  C snapshot + pipeline dispatch (drop-frame) ->
+  D display when the worker has produced pixels.
+
+Headless by default (no window; the pipeline still runs so the
+overlap behavior is exercised); with pygame installed and
+``window=True`` an interactive window opens with the reference's key
+bindings.  SIGINT triggers save-and-exit like main.cpp:32-39,224.
+"""
+
+from __future__ import annotations
+
+import signal
+
+import numpy as np
+
+from tryraytrace_tpu.camera.controller import CameraController
+from tryraytrace_tpu.config import RenderConfig
+from tryraytrace_tpu.display.input import InputState, ScriptedInput
+from tryraytrace_tpu.display.pipeline import DisplayPipeline
+from tryraytrace_tpu.engine.renderer import Renderer
+from tryraytrace_tpu.io.snapshot import save_snapshot
+
+
+class App:
+    def __init__(self, arrays, cfg: RenderConfig,
+                 camera: CameraController | None = None,
+                 input_source=None, window: bool = False,
+                 out_dir: str = "."):
+        self.cfg = cfg
+        self.renderer = Renderer(arrays, cfg=cfg)
+        self.camera = camera or CameraController()
+        self.pipeline = DisplayPipeline(cfg.width, cfg.height)
+        self.out_dir = out_dir
+        self.frames_displayed = 0
+        self.snapshots: list[str] = []
+        self._quit = False
+
+        self._window = None
+        if window:
+            import pygame
+
+            pygame.init()
+            self._pg = pygame
+            self._window = pygame.display.set_mode((cfg.width, cfg.height))
+            pygame.display.set_caption("tpurt engine")
+            from tryraytrace_tpu.display.input import InputManager
+
+            self.input = InputManager()
+        else:
+            self.input = input_source or ScriptedInput([])
+
+        signal.signal(signal.SIGINT, self._on_sigint)
+
+    def _on_sigint(self, *_):
+        self._quit = True  # main loop saves + exits (main.cpp:32-39)
+
+    # -- one loop iteration -------------------------------------------
+    def tick(self) -> bool:
+        """Run one frame of the game loop; False when the app should
+        exit."""
+        r = self.renderer
+        state: InputState = self.input.process_events(self.camera)
+
+        if state.save_request:
+            # Reference quirk preserved: saves the last *displayed*
+            # buffer's accumulation state timing-wise; here we save
+            # the current device accumulator (strictly fresher).
+            self.snapshots.append(self._save())
+        if state.quit or self._quit:
+            return False
+        if state.camera_moved:
+            r.reset()  # main.cpp:170-173
+
+        params = self.camera.get_params(self.cfg.width, self.cfg.height)
+        r.step(params)  # async dispatch (launch_render_kernel analogue)
+
+        # Snapshot + drop-frame dispatch (main.cpp:183-198).  The
+        # device->host read is the sync point, standing in for
+        # cudaDeviceSynchronize at main.cpp:192.
+        accum = r.accum_host()
+        self.pipeline.try_dispatch(accum, max(r.spp(), 1))
+
+        if self.pipeline.check_frame_ready():
+            self.frames_displayed += 1
+            if self._window is not None:
+                buf = self.pipeline.pixel_buffer.reshape(
+                    self.cfg.height, self.cfg.width)
+                rgb = np.stack([(buf >> 16) & 0xFF, (buf >> 8) & 0xFF,
+                                buf & 0xFF], axis=-1).astype(np.uint8)
+                surf = self._pg.surfarray.make_surface(
+                    rgb.transpose(1, 0, 2))
+                self._window.blit(surf, (0, 0))
+                self._pg.display.flip()
+                if r.frame % 10 == 0:  # title HUD (main.cpp:213-218)
+                    self._pg.display.set_caption(
+                        f"Frame: {r.frame} | Focus: "
+                        f"{self.camera.focus_dist:.1f} | Aperture: "
+                        f"{self.camera.aperture:.1f}")
+        return True
+
+    def run(self, max_frames: int | None = None) -> None:
+        n = 0
+        while self.tick():
+            n += 1
+            if max_frames is not None and n >= max_frames:
+                break
+        self.snapshots.append(self._save())  # exit snapshot (main.cpp:224)
+        self.pipeline.destroy()
+        if self._window is not None:
+            self._pg.quit()
+
+    def _save(self) -> str:
+        r = self.renderer
+        return save_snapshot(
+            r.accum_host().reshape(-1, 3), self.cfg.width, self.cfg.height,
+            max(r.spp(), 1), self.camera.get_focus_dist(),
+            self.camera.get_aperture(), out_dir=self.out_dir)

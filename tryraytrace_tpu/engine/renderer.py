@@ -28,6 +28,9 @@ from tryraytrace_tpu.engine.state import RenderState
 from tryraytrace_tpu.engine.wavefront import render_frame
 from tryraytrace_tpu.io.snapshot import tonemap_accum
 from tryraytrace_tpu.scene.model import Scene, SceneArrays, flatten_scene
+from tryraytrace_tpu.utils.jaxtools import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 @functools.partial(

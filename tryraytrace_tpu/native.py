@@ -149,7 +149,8 @@ def tonemap_argb(accum: np.ndarray, frame: int) -> np.ndarray | None:
 
 
 def bvh_build(centroids: np.ndarray, prim_bounds: np.ndarray):
-    """Native BVH build; returns (perm, node_bounds, leaf_prim, miss, n_nodes) or None."""
+    """Native BVH build; returns
+    (perm, node_bounds, leaf_prim, miss, axis, n_nodes) or None."""
     lib = _load()
     if lib is None:
         return None
@@ -159,6 +160,7 @@ def bvh_build(centroids: np.ndarray, prim_bounds: np.ndarray):
     node_bounds = np.empty((cap, 6), dtype=np.float32)
     leaf_prim = np.empty(cap, dtype=np.int32)
     miss = np.empty(cap, dtype=np.int32)
+    axis = np.empty(cap, dtype=np.int32)
     n_nodes = lib.trt_bvh_build(
         np.ascontiguousarray(centroids, np.float32).ctypes.data_as(
             ctypes.POINTER(ctypes.c_float)),
@@ -169,11 +171,12 @@ def bvh_build(centroids: np.ndarray, prim_bounds: np.ndarray):
         node_bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         leaf_prim.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         miss.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        None,
+        axis.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     if n_nodes <= 0:
         return None
-    return perm, node_bounds[:n_nodes], leaf_prim[:n_nodes], miss[:n_nodes], int(n_nodes)
+    return (perm, node_bounds[:n_nodes], leaf_prim[:n_nodes],
+            miss[:n_nodes], axis[:n_nodes], int(n_nodes))
 
 
 if __name__ == "__main__":

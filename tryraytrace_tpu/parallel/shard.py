@@ -28,6 +28,9 @@ from tryraytrace_tpu.config import RenderConfig
 from tryraytrace_tpu.engine.state import RenderState
 from tryraytrace_tpu.engine.wavefront import render_sample
 from tryraytrace_tpu.parallel.mesh import SAMPLE_AXIS, TILE_AXIS, make_mesh
+from tryraytrace_tpu.utils.jaxtools import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def render_frame_sharded(scene, textures, cam, frame_seed, width: int,
