@@ -1,0 +1,81 @@
+"""The persistent-wave engine must produce bit-identical images to the
+bounce-major engine (and therefore to the oracle) for any shading
+cadence -- the state machine is a pure scheduling transform."""
+
+import numpy as np
+import pytest
+
+from tryraytrace_tpu.camera.controller import CameraController
+from tryraytrace_tpu.config import RenderConfig
+from tryraytrace_tpu.engine.renderer import Renderer
+from tryraytrace_tpu.scene.assets import checker_texture, cube_mesh
+from tryraytrace_tpu.scene.cornell import create_cornell_box
+from tryraytrace_tpu.scene.model import Object, flatten_scene
+
+
+@pytest.fixture(scope="module")
+def arrays():
+    scene = create_cornell_box(mesh=None)
+    v0, v1, v2 = cube_mesh()
+    for a, b, c in zip(v0 * 14 + [40, 20, 60], v1 * 14 + [40, 20, 60],
+                       v2 * 14 + [40, 20, 60]):
+        scene.objects.append(Object(v0=tuple(a), v1=tuple(b), v2=tuple(c),
+                                    albedo=(0.9, 0.9, 0.9), metallic=0.0,
+                                    roughness=0.0, ior=1.45,
+                                    transmission=1.0))
+    return flatten_scene(scene, textures=[checker_texture(32)])
+
+
+def _render(arrays, engine, shade_every=4, spp=2, aperture=0.0):
+    cfg = RenderConfig(width=40, height=24, spp=spp, engine=engine,
+                       shade_every=shade_every)
+    r = Renderer(arrays, cfg=cfg)
+    cam = CameraController()
+    cam.aperture = aperture
+    r.step(cam.get_params(40, 24), spp=spp)
+    return r.accum_host()
+
+
+# XLA fuses the two engines' arithmetic differently (fma contraction,
+# accumulation order), so allow last-ULP drift; anything above means a
+# real divergence.
+_ULP = dict(rtol=2e-6, atol=1e-6)
+
+
+def test_engines_identical(arrays):
+    a = _render(arrays, "bounce")
+    b = _render(arrays, "persistent")
+    np.testing.assert_allclose(a, b, **_ULP)
+
+
+@pytest.mark.parametrize("shade_every", [1, 3, 8])
+def test_cadence_invariant(arrays, shade_every):
+    ref = _render(arrays, "persistent", shade_every=4)
+    out = _render(arrays, "persistent", shade_every=shade_every)
+    np.testing.assert_allclose(ref, out, **_ULP)
+
+
+def test_engines_identical_with_dof(arrays):
+    a = _render(arrays, "bounce", aperture=1.0)
+    b = _render(arrays, "persistent", aperture=1.0)
+    np.testing.assert_allclose(a, b, **_ULP)
+
+
+def test_ray_stats_match(arrays):
+    import jax
+
+    from tryraytrace_tpu.engine.renderer import Renderer
+    from tryraytrace_tpu.engine.wavefront import frame_ray_stats
+
+    cam = CameraController().get_params(32, 16)
+    counts = {}
+    for engine in ("bounce", "persistent"):
+        cfg = RenderConfig(width=32, height=16, spp=1, engine=engine)
+        r = Renderer(arrays, cfg=cfg)
+        tr, sh = jax.jit(
+            frame_ray_stats,
+            static_argnames=("width", "height", "cfg", "spp"),
+        )(r.scene, r.textures, cam, 1, width=32, height=16, cfg=cfg, spp=1)
+        counts[engine] = (float(tr), float(sh))
+    assert counts["bounce"] == counts["persistent"]
+    assert counts["bounce"][0] >= 32 * 16  # at least the camera rays

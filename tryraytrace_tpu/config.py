@@ -59,6 +59,16 @@ class RenderConfig:
     clamp_fireflies: bool = True
     nee_dist_floor_enabled: bool = True
 
+    # Engine selection: "persistent" (lane state machine, no per-bounce
+    # lockstep barriers -- engine/persistent.py) or "bounce"
+    # (bounce-major wavefront -- engine/wavefront.py).  Identical
+    # results; persistent is the fast path on TPU.
+    engine: str = "persistent"
+    # Shading cadence for the persistent engine: shade READY lanes
+    # every this many traversal steps (amortizes the shading gathers;
+    # any value gives identical images).
+    shade_every: int = 4
+
     def with_size(self, width: int, height: int) -> "RenderConfig":
         return dataclasses.replace(self, width=width, height=height)
 

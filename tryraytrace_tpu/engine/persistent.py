@@ -1,0 +1,367 @@
+"""Persistent-wave path tracer: the bounce-barrier-free engine.
+
+The bounce-major wavefront (engine/wavefront.py) pays a *lockstep
+barrier* per bounce: every traversal while_loop runs for the slowest
+live ray of that bounce, and late bounces with a handful of RR
+survivors still cost full-wave steps.  Measured on TPU v5e that tail
+is ~80% of frame time.
+
+This engine removes the barriers with a per-lane state machine inside
+ONE ``lax.while_loop`` -- the wavefront equivalent of a persistent-
+threads kernel, but still fully lockstep-masked (TPU-friendly):
+
+  mode: TRAVERSE --(closest-hit finished)--> READY --(shade)-->
+        SHADOW (diffuse w/ NEE) -> TRAVERSE | TRAVERSE | DONE
+
+Every iteration advances each lane by one traversal step of whichever
+walk it is in; closest-hit and shadow lanes *share the single node-row
+gather* (the dominant cost), and shading (its own trimat/texture/light
+gathers) runs every ``shade_every`` iterations on the lanes that are
+READY.  Total iterations ~= the slowest single lane's whole-path work,
+not the sum of per-bounce maxima.
+
+Semantics are bit-identical to wavefront.py and the NumPy oracle: the
+RNG is slot-addressed by per-lane depth, every epsilon matches the
+reference megakernel (renderer.cu:317-760), and shading math is the
+shared ops/shade.py.  Verified by the same golden tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tryraytrace_tpu.config import RenderConfig
+from tryraytrace_tpu.core import rng, vec
+from tryraytrace_tpu.engine.camera_rays import generate_rays
+from tryraytrace_tpu.engine.wavefront import _sanitize
+from tryraytrace_tpu.ops import shade
+from tryraytrace_tpu.ops.aabb import aabb_hit
+from tryraytrace_tpu.ops.intersect import moller_trumbore
+from tryraytrace_tpu.ops.texture import sample_textures
+from tryraytrace_tpu.ops.traverse import MISS_T, ray_octant
+
+PI = np.float32(np.pi)
+
+# Lane modes.
+TRAVERSE = 0
+SHADOW = 1
+READY = 2
+DONE = 3
+
+
+def render_sample_persistent(scene, textures, cam, seed, width: int,
+                             height: int, cfg: RenderConfig,
+                             pixel_idx=None, with_stats: bool = False,
+                             shade_every: int = 4):
+    n = width * height if pixel_idx is None else pixel_idx.shape[0]
+    if pixel_idx is None:
+        pixel_idx = jnp.arange(n, dtype=jnp.int32)
+    seed = jnp.asarray(seed).astype(jnp.uint32)
+    k = scene.leaf_size
+    table = scene.node_table
+    sentinel = table.shape[0]
+    col_ps = 6 + 9 * k
+
+    r_o, r_d = generate_rays(cam, width, height, seed, pixel_idx)
+
+    f3 = lambda: jnp.zeros((n, 3), jnp.float32)
+    st = dict(
+        mode=jnp.full((n,), TRAVERSE, jnp.int32),
+        cur=jnp.zeros((n,), jnp.int32),
+        d_min=jnp.full((n,), MISS_T),
+        hit_id=jnp.full((n,), -1, jnp.int32),
+        o=r_o, d=r_d,
+        tp=jnp.ones((n, 3), jnp.float32),
+        rad=f3(),
+        depth=jnp.zeros((n,), jnp.int32),
+        prev_spec=jnp.ones((n,), bool),
+        so=f3(), sd=f3(),
+        smax=jnp.zeros((n,), jnp.float32),
+        pend=f3(),
+        cont_after_shadow=jnp.zeros((n,), bool),
+        it=jnp.int32(0),
+        n_traced=jnp.float32(n),   # initial camera rays
+        n_shadow=jnp.float32(0),
+    )
+    if sentinel == 0:  # empty scene: every ray misses
+        out = f3()
+        return (out, (st["n_traced"], st["n_shadow"])) if with_stats else out
+
+    keys = tuple(sorted(st.keys()))
+    pack = lambda d: tuple(d[kk] for kk in keys)
+    unpack = lambda t: dict(zip(keys, t))
+
+    def cond(carry):
+        s = unpack(carry)
+        return jnp.any(s["mode"] != DONE)
+
+    def body(carry):
+        s = unpack(carry)
+        s = _step(s, scene, table, sentinel, k, col_ps)
+        do_shade = (s["it"] % shade_every) == (shade_every - 1)
+        s = jax.lax.cond(
+            do_shade,
+            lambda ss: _shade_ready(ss, scene, textures, seed, pixel_idx,
+                                    cfg),
+            lambda ss: ss,
+            s,
+        )
+        s["it"] = s["it"] + 1
+        return pack(s)
+
+    final = unpack(jax.lax.while_loop(cond, body, pack(st)))
+    rad = _sanitize(final["rad"], cfg)
+    if with_stats:
+        return rad, (final["n_traced"], final["n_shadow"])
+    return rad
+
+
+def _step(s, scene, table, sentinel, k: int, col_ps: int):
+    """One traversal step for TRAVERSE and SHADOW lanes -- a single
+    shared node-row gather serves both walks."""
+    live_t = s["mode"] == TRAVERSE
+    live_s = s["mode"] == SHADOW
+    stepping = live_t | live_s
+
+    idx = jnp.where(stepping, jnp.minimum(s["cur"], sentinel - 1), 0)
+    row = table[idx]
+
+    ls3 = live_s[..., None]
+    ro = jnp.where(ls3, s["so"], s["o"])
+    rd = jnp.where(ls3, s["sd"], s["d"])
+    # Closest-hit uses the safe inverse (renderer.cu:371-373), the
+    # shadow walk the plain reciprocal (renderer.cu:276).
+    inv = jnp.where(ls3, 1.0 / rd, vec.safe_inv(rd, jnp))
+    t_min = jnp.where(live_s, jnp.float32(1e-3), jnp.float32(0.0))
+    t_max = jnp.where(live_s, s["smax"], s["d_min"])
+
+    hit = aabb_hit(row[:, :6], ro, inv, t_min, t_max) & stepping
+    prim_start = row[:, col_ps].astype(jnp.int32)
+    prim_count = row[:, col_ps + 1].astype(jnp.int32)
+    is_leaf = prim_start >= 0
+
+    # Inline leaf triangles: closest-hit keeps the nearest inside
+    # (0, d_min); the shadow walk tests the (1e-3, smax - 1e-3) window.
+    best_t = jnp.full(ro.shape[0], MISS_T)
+    best_id = jnp.full(ro.shape[0], -1, jnp.int32)
+    occ_now = jnp.zeros(ro.shape[0], bool)
+    for j in range(k):
+        base = 6 + 9 * j
+        t = moller_trumbore(row[:, base:base + 3], row[:, base + 3:base + 6],
+                            row[:, base + 6:base + 9], ro, rd)
+        in_leaf = (j < prim_count) & (t > 0.0)
+        take = in_leaf & live_t & (t < s["d_min"]) & (t < best_t)
+        best_t = jnp.where(take, t, best_t)
+        best_id = jnp.where(take, prim_start + j, best_id)
+        occ_now = occ_now | (in_leaf & live_s & (t > 1e-3)
+                             & (t < s["smax"] - 1e-3))
+
+    leaf_hit = hit & is_leaf
+    d_min = jnp.where(leaf_hit & (best_id >= 0), best_t, s["d_min"])
+    hit_id = jnp.where(leaf_hit & (best_id >= 0), best_id, s["hit_id"])
+    occluded = leaf_hit & occ_now
+
+    octant = ray_octant(rd)
+    nh = jnp.zeros(ro.shape[0], jnp.float32)
+    nm = jnp.zeros(ro.shape[0], jnp.float32)
+    for o in range(8):
+        sel = (octant == o).astype(jnp.float32)
+        nh = nh + sel * row[:, col_ps + 2 + o]
+        nm = nm + sel * row[:, col_ps + 10 + o]
+    nxt = jnp.where(hit & ~is_leaf, nh, nm).astype(jnp.int32)
+    cur = jnp.where(stepping, nxt, s["cur"])
+
+    # Transitions.
+    t_done = live_t & (cur >= sentinel)
+    s_done = live_s & (occluded | (cur >= sentinel))
+    lit = s_done & ~occluded
+    rad = s["rad"] + jnp.where(lit[..., None], s["pend"], 0.0)
+
+    mode = s["mode"]
+    mode = jnp.where(t_done, READY, mode)
+    # A finished shadow ray resumes the (already-selected) next bounce
+    # unless its path ended at this bounce (depth cap): then DONE.
+    mode = jnp.where(s_done,
+                     jnp.where(s["cont_after_shadow"], TRAVERSE, DONE),
+                     mode)
+    # Shadow lanes resuming path traversal restart at the root with a
+    # fresh interval.
+    cur = jnp.where(s_done, 0, cur)
+    d_min = jnp.where(s_done, MISS_T, d_min)
+    hit_id = jnp.where(s_done, -1, hit_id)
+
+    out = dict(s)
+    out.update(mode=mode, cur=cur, d_min=d_min, hit_id=hit_id, rad=rad)
+    return out
+
+
+def _shade_ready(s, scene, textures, seed, pixel_idx, cfg: RenderConfig):
+    """Shade every READY lane: the full reference shading block
+    (renderer.cu:427-733) in masked form, slot-addressed RNG by the
+    lane's own depth."""
+    ready = s["mode"] == READY
+    sid = jnp.maximum(s["hit_id"], 0)
+    found = s["hit_id"] >= 0
+    alive = ready & found  # miss -> path ends (renderer.cu:427)
+
+    hitrow = scene.trimat[sid]
+    v0 = hitrow[:, 0:3]
+    v1 = hitrow[:, 3:6]
+    v2 = hitrow[:, 6:9]
+    o, d, tp, rad = s["o"], s["d"], s["tp"], s["rad"]
+    depth = s["depth"]
+    x_hit = o + d * s["d_min"][..., None]
+
+    nrm = vec.norm(vec.cross(v1 - v0, v2 - v0, jnp), jnp)
+    nl = jnp.where((vec.dot(nrm, d, jnp) < 0.0)[..., None], nrm, -nrm)
+
+    albedo = hitrow[:, 9:12]
+    emission = hitrow[:, 12:15]
+    metallic = hitrow[:, 15]
+    roughness = hitrow[:, 16]
+    ior = hitrow[:, 17]
+    transmission = hitrow[:, 18]
+
+    if textures:
+        factor = sample_textures(
+            textures, hitrow[:, 19].astype(jnp.int32), x_hit, nrm,
+            jnp.float32(cfg.tex_planar_scale))
+        albedo = albedo * factor
+
+    rad = rad + jnp.where((alive & s["prev_spec"])[..., None],
+                          tp * emission, 0.0)
+    is_emitter = (emission > cfg.emitter_stop_threshold).any(axis=-1)
+    alive = alive & ~is_emitter
+
+    p_spec, p_trans, fres = shade.pbr_weights(
+        albedo, metallic, roughness, transmission, nl, d)
+
+    base = rng.CAMERA_DRAWS + depth * rng.DRAWS_PER_BOUNCE
+    u_rr = rng.uniform(seed, pixel_idx, base + rng.SLOT_RR, jnp)
+    rr_on = depth > cfg.rr_threshold
+    p_live = jnp.maximum(albedo.max(axis=-1), cfg.rr_min_p)
+    survive = u_rr < p_live
+    tp = jnp.where((rr_on & alive & survive)[..., None],
+                   tp * (1.0 / p_live)[..., None], tp)
+    alive = alive & (~rr_on | survive)
+
+    u_b = rng.uniform(seed, pixel_idx, base + rng.SLOT_BRANCH, jnp)
+    m_spec = alive & (u_b < p_spec)
+    m_trans = alive & ~m_spec & (u_b < p_spec + p_trans)
+    m_diff = alive & ~m_spec & ~m_trans
+
+    u_d1 = rng.uniform(seed, pixel_idx, base + rng.SLOT_DIR_R1, jnp)
+    u_d2 = rng.uniform(seed, pixel_idx, base + rng.SLOT_DIR_R2, jnp)
+
+    # Branch A: specular (renderer.cu:571-589).
+    perfect = shade.reflect(d, nrm)
+    d_spec = shade.rough_perturb(perfect, roughness, u_d1, u_d2)
+    kill_spec = vec.dot(d_spec, nl, jnp) <= 0.0
+    tp_spec = tp * fres * (1.0 / p_spec)[..., None]
+    o_spec = x_hit + nl * np.float32(cfg.shadow_eps)
+
+    # Branch B: transmission (renderer.cu:592-648).
+    d_trans, _ = shade.refract_branch(d, nrm, nl, ior, roughness, u_d1, u_d2)
+    p_branch = (1.0 - p_spec) * transmission
+    tp_trans = jnp.where(
+        (p_branch > 1e-4)[..., None],
+        tp * albedo / jnp.where(p_branch > 1e-4, p_branch, 1.0)[..., None],
+        tp)
+    o_trans = x_hit + d_trans * np.float32(cfg.refr_offset)
+
+    # Branch C: diffuse + NEE setup (renderer.cu:651-733).
+    has_shadow = jnp.zeros_like(m_diff)
+    pend = jnp.zeros_like(tp)
+    so = s["so"]
+    sd = s["sd"]
+    smax = s["smax"]
+    if scene.num_lights > 0:
+        lcount = scene.num_lights
+        u4 = rng.uniform(seed, pixel_idx, base + rng.SLOT_LIGHT_PICK, jnp)
+        u5 = rng.uniform(seed, pixel_idx, base + rng.SLOT_LIGHT_R1, jnp)
+        u6 = rng.uniform(seed, pixel_idx, base + rng.SLOT_LIGHT_R2, jnp)
+        pick = jnp.clip((u4 * (lcount - 0.001)).astype(jnp.int32), 0,
+                        lcount - 1)
+        li = scene.light_indices[pick]
+        lrow = scene.trimat[li]
+        lv0, lv1, lv2 = lrow[:, 0:3], lrow[:, 3:6], lrow[:, 6:9]
+        light_pos = shade.sample_triangle(lv0, lv1, lv2, u5, u6)
+        to_light = light_pos - x_hit
+        dist_sq = vec.dot(to_light, to_light, jnp)
+        if cfg.nee_dist_floor_enabled:
+            dist_sq = jnp.maximum(dist_sq, cfg.nee_dist_sq_floor)
+        dist = jnp.sqrt(dist_sq)
+        l_dir = to_light * (1.0 / dist)[..., None]
+        cos_theta = vec.dot(nl, l_dir, jnp)
+        light_n = vec.norm(vec.cross(lv1 - lv0, lv2 - lv0, jnp), jnp)
+        cos_light = -vec.dot(light_n, l_dir, jnp)
+        geo_ok = m_diff & (cos_theta > 0.0) & (cos_light > 0.0)
+
+        area = lrow[:, 20]
+        pdf = 1.0 / (area * lcount)
+        g_term = (cos_theta * cos_light) / dist_sq
+        brdf = albedo * (1.0 / PI)
+        contrib = lrow[:, 12:15] * brdf * (g_term / pdf)[..., None]
+
+        has_shadow = geo_ok
+        g3 = geo_ok[..., None]
+        pend = jnp.where(g3, tp * contrib, pend)
+        so = jnp.where(g3, x_hit + nl * np.float32(cfg.shadow_eps), so)
+        sd = jnp.where(g3, l_dir, sd)
+        smax = jnp.where(geo_ok,
+                         dist - np.float32(cfg.shadow_max_dist_eps), smax)
+
+    d_diff = shade.cosine_hemisphere(nl, u_d1, u_d2)
+    p_diff = 1.0 - p_spec - (1.0 - p_spec) * transmission
+    tp_diff = (tp * (albedo * (1.0 - metallic)[..., None])
+               * (1.0 / p_diff)[..., None])
+    o_diff = x_hit + nl * np.float32(cfg.shadow_eps)
+
+    ms3, mt3, md3 = m_spec[..., None], m_trans[..., None], m_diff[..., None]
+    new_d = jnp.where(ms3, d_spec, jnp.where(mt3, d_trans, d_diff))
+    new_o = jnp.where(ms3, o_spec, jnp.where(mt3, o_trans, o_diff))
+    new_tp = jnp.where(ms3, tp_spec,
+                       jnp.where(mt3, tp_trans,
+                                 jnp.where(md3, tp_diff, tp)))
+    alive = alive & ~(m_spec & kill_spec)
+    new_prev = jnp.where(m_spec | m_trans, True,
+                         jnp.where(m_diff, False, s["prev_spec"]))
+
+    # Depth cap: a path that completes bounce (max_depth - 1) ends
+    # (the reference's for-loop bound, renderer.cu:367).  NEE still
+    # fires at the final depth -- the reference runs the full diffuse
+    # branch body before the loop exits.
+    next_depth = depth + 1
+    alive = alive & (next_depth < cfg.max_depth)
+    shadow_fire = ready & has_shadow  # has_shadow implies m_diff
+
+    out = dict(s)
+    mode = s["mode"]
+    # READY lanes become DONE unless they continue or owe a shadow ray.
+    mode = jnp.where(ready, DONE, mode)
+    cont = ready & alive
+    mode = jnp.where(cont & ~has_shadow, TRAVERSE, mode)
+    mode = jnp.where(shadow_fire, SHADOW, mode)
+    cont_after_shadow = jnp.where(shadow_fire, alive,
+                                  s["cont_after_shadow"])
+    cur = jnp.where(ready, 0, s["cur"])
+    d_min = jnp.where(ready, MISS_T, s["d_min"])
+    hit_id = jnp.where(ready, -1, s["hit_id"])
+
+    out.update(
+        mode=mode, cur=cur, d_min=d_min, hit_id=hit_id,
+        o=jnp.where(ready[..., None], new_o, o),
+        d=jnp.where(ready[..., None], new_d, d),
+        tp=jnp.where(ready[..., None], new_tp, tp),
+        rad=rad,
+        depth=jnp.where(ready, next_depth, depth),
+        prev_spec=jnp.where(ready, new_prev, s["prev_spec"]),
+        so=so, sd=sd, smax=smax,
+        pend=jnp.where(ready[..., None], pend, s["pend"]),
+        cont_after_shadow=cont_after_shadow,
+        n_traced=s["n_traced"] + cont.sum().astype(jnp.float32),
+        n_shadow=s["n_shadow"] + shadow_fire.sum().astype(jnp.float32),
+    )
+    return out

@@ -274,6 +274,23 @@ def _sanitize(rad, cfg: RenderConfig):
     return rad
 
 
+def _sample_fn(cfg: RenderConfig):
+    if cfg.engine == "persistent":
+        from tryraytrace_tpu.engine.persistent import render_sample_persistent
+
+        def fn(scene, textures, cam, seed, width, height, cfg, pixel_idx,
+               with_stats=False):
+            return render_sample_persistent(
+                scene, textures, cam, seed, width, height, cfg,
+                pixel_idx=pixel_idx, with_stats=with_stats,
+                shade_every=cfg.shade_every)
+
+        return fn
+    if cfg.engine == "bounce":
+        return render_sample
+    raise ValueError(f"unknown engine {cfg.engine!r}")
+
+
 def render_frame(scene, textures, cam, frame_seed, width: int, height: int,
                  cfg: RenderConfig, spp: int | None = None, pixel_idx=None):
     """Sum ``spp`` independent 1-spp passes -> radiance sum [N, 3].
@@ -286,12 +303,13 @@ def render_frame(scene, textures, cam, frame_seed, width: int, height: int,
     spp = cfg.spp if spp is None else spp
     frame_seed = jnp.asarray(frame_seed).astype(jnp.uint32)
     n = width * height if pixel_idx is None else pixel_idx.shape[0]
+    sample = _sample_fn(cfg)
 
     def body(s, acc):
         seed = (jnp.uint32(1984) + frame_seed * jnp.uint32(spp)
                 + jnp.uint32(s))
-        return acc + render_sample(scene, textures, cam, seed,
-                                   width, height, cfg, pixel_idx)
+        return acc + sample(scene, textures, cam, seed,
+                            width, height, cfg, pixel_idx)
 
     acc0 = jnp.zeros((n, 3), jnp.float32)
     if spp == 1:
@@ -304,12 +322,13 @@ def frame_ray_stats(scene, textures, cam, frame_seed, width: int,
     """Total (path rays, shadow rays) traced for one frame -- the ray
     count that, divided by frame time, gives Mrays/s (BASELINE.md)."""
     frame_seed = jnp.asarray(frame_seed).astype(jnp.uint32)
+    sample = _sample_fn(cfg)
 
     def body(s, acc):
         seed = (jnp.uint32(1984) + frame_seed * jnp.uint32(spp)
                 + jnp.uint32(s))
-        _, (tr, sh) = render_sample(scene, textures, cam, seed, width,
-                                    height, cfg, with_stats=True)
+        _, (tr, sh) = sample(scene, textures, cam, seed, width,
+                             height, cfg, None, with_stats=True)
         return acc[0] + tr, acc[1] + sh
 
     zero = jnp.zeros((), jnp.float32)
