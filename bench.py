@@ -46,7 +46,7 @@ def main() -> int:
     from tryraytrace_tpu.camera.controller import CameraController
     from tryraytrace_tpu.config import RenderConfig
     from tryraytrace_tpu.engine.device_scene import upload_scene
-    from tryraytrace_tpu.engine.wavefront import _sample_fn
+    from tryraytrace_tpu.engine.wavefront import render_frame
     from tryraytrace_tpu.scene.assets import checker_texture
     from tryraytrace_tpu.scene.cornell import create_cornell_box
     from tryraytrace_tpu.scene.model import flatten_scene
@@ -63,28 +63,19 @@ def main() -> int:
         cfg = cfg.replace(engine=args.engine)
 
     t0 = time.time()
-    scene, textures, bvh = upload_scene(arrays, leaf_size=cfg.bvh_leaf_size)
+    scene, textures, bvh = upload_scene(arrays, leaf_size=cfg.bvh_leaf_size,
+                                        method=cfg.bvh_method)
     log(f"[bench] scene: {arrays.num_objects} tris, BVH {bvh.num_nodes} "
-        f"nodes, build+upload {time.time() - t0:.2f}s")
+        f"nodes ({cfg.bvh_method}), build+upload {time.time() - t0:.2f}s")
 
     cam = CameraController().get_params(w, h)
-    sample = _sample_fn(cfg)
 
     @functools.partial(jax.jit, donate_argnames=("accum",))
     def step(accum, frame_seed):
         """One frame: spp samples accumulated, with exact ray counts."""
-        def body(s, carry):
-            acc, tr_all, sh_all = carry
-            seed = (jnp.uint32(1984) + frame_seed * jnp.uint32(spp)
-                    + jnp.uint32(s))
-            rad, (tr, sh) = sample(scene, textures, cam, seed, w, h, cfg,
-                                   None, with_stats=True)
-            return acc + rad, tr_all + tr, sh_all + sh
-
-        zero = jnp.float32(0)
-        if spp == 1:
-            return body(0, (accum, zero, zero))
-        return jax.lax.fori_loop(0, spp, body, (accum, zero, zero))
+        rad, (tr, sh) = render_frame(scene, textures, cam, frame_seed,
+                                     w, h, cfg, spp=spp, with_stats=True)
+        return accum + rad, tr, sh
 
     accum = jnp.zeros((w * h, 3), jnp.float32)
     t0 = time.time()

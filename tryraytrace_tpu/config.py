@@ -51,6 +51,10 @@ class RenderConfig:
     # free, so fat leaves cut visits at no per-step cost.  Results are
     # identical (closest-hit is order-independent).
     bvh_leaf_size: int = 8
+    # BVH build method for the engine: "sah" (binned surface-area
+    # heuristic; fewer node visits) or "median" (the reference's exact
+    # algorithm, bvh.cpp:47-113).  Images are identical either way.
+    bvh_method: str = "sah"
 
     # Planar texture mapping (reference renderer.cu:465-481).
     tex_planar_scale: float = 0.01

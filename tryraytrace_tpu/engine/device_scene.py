@@ -58,8 +58,8 @@ class DeviceScene:
 
 
 def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
-                 device_put=True, leaf_size: int = 8
-                 ) -> tuple[DeviceScene, tuple, LinearBVH]:
+                 device_put=True, leaf_size: int = 8,
+                 method: str = "sah") -> tuple[DeviceScene, tuple, LinearBVH]:
     """Build the BVH (reordering primitives, main.cpp:82-86 contract),
     then assemble the device pytree.
 
@@ -68,7 +68,7 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
     """
     if bvh is None:
         bvh = build_bvh(arrays.tri_v0, arrays.tri_v1, arrays.tri_v2,
-                        leaf_size=leaf_size)
+                        leaf_size=leaf_size, method=method)
     leaf_size = int(max(1, bvh.leaf_count.max())) if bvh.num_nodes else 1
     ordered = arrays.permuted(bvh.perm) if bvh.perm.size else arrays
 

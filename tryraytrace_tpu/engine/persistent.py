@@ -1,4 +1,4 @@
-"""Persistent-wave path tracer: the bounce-barrier-free engine.
+"""Persistent-wave path tracer with path regeneration.
 
 The bounce-major wavefront (engine/wavefront.py) pays a *lockstep
 barrier* per bounce: every traversal while_loop runs for the slowest
@@ -10,20 +10,26 @@ This engine removes the barriers with a per-lane state machine inside
 ONE ``lax.while_loop`` -- the wavefront equivalent of a persistent-
 threads kernel, but still fully lockstep-masked (TPU-friendly):
 
-  mode: TRAVERSE --(closest-hit finished)--> READY --(shade)-->
-        SHADOW (diffuse w/ NEE) -> TRAVERSE | TRAVERSE | DONE
+  TRAVERSE --(closest-hit done)--> READY --(shade)-->
+      SHADOW (diffuse, NEE) -> TRAVERSE      (path continues)
+    | TRAVERSE                               (spec/refr continue)
+    | REFILL --(next sample's camera ray)--> TRAVERSE | DONE
 
-Every iteration advances each lane by one traversal step of whichever
-walk it is in; closest-hit and shadow lanes *share the single node-row
-gather* (the dominant cost), and shading (its own trimat/texture/light
-gathers) runs every ``shade_every`` iterations on the lanes that are
-READY.  Total iterations ~= the slowest single lane's whole-path work,
-not the sum of per-bounce maxima.
+Key properties:
+  - closest-hit and shadow lanes *share the single node-row gather*
+    per iteration (the dominant cost on TPU);
+  - shading (trimat/texture/light gathers) runs every ``shade_every``
+    iterations on READY/REFILL lanes;
+  - a lane whose path ends immediately *regenerates* with its pixel's
+    next sample (path regeneration), so one wave renders all ``spp``
+    samples back-to-back and the rare 30-bounce RR tail is amortized
+    across the whole frame instead of stalling every sample wave.
 
-Semantics are bit-identical to wavefront.py and the NumPy oracle: the
-RNG is slot-addressed by per-lane depth, every epsilon matches the
-reference megakernel (renderer.cu:317-760), and shading math is the
-shared ops/shade.py.  Verified by the same golden tests.
+Semantics are identical to wavefront.py and the NumPy oracle: RNG is
+slot-addressed by (per-lane sample seed, pixel, per-lane depth), every
+epsilon matches the reference megakernel (renderer.cu:317-760), and
+per-sample radiance is sanitized before accumulation exactly like the
+reference's pre-accumulate filters (renderer.cu:737-759).
 """
 
 from __future__ import annotations
@@ -48,23 +54,33 @@ PI = np.float32(np.pi)
 TRAVERSE = 0
 SHADOW = 1
 READY = 2
-DONE = 3
+REFILL = 3
+DONE = 4
 
 
-def render_sample_persistent(scene, textures, cam, seed, width: int,
-                             height: int, cfg: RenderConfig,
-                             pixel_idx=None, with_stats: bool = False,
-                             shade_every: int = 4):
+def _lane_seed(frame_seed, spp: int, sample):
+    return (jnp.uint32(1984) + frame_seed.astype(jnp.uint32) * jnp.uint32(spp)
+            + sample.astype(jnp.uint32))
+
+
+def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
+                            height: int, cfg: RenderConfig, spp: int,
+                            pixel_idx=None, with_stats: bool = False):
+    """All ``spp`` samples of one frame in a single regenerating wave.
+    Returns the per-pixel radiance *sum* [N, 3] (+ ray stats)."""
     n = width * height if pixel_idx is None else pixel_idx.shape[0]
     if pixel_idx is None:
         pixel_idx = jnp.arange(n, dtype=jnp.int32)
-    seed = jnp.asarray(seed).astype(jnp.uint32)
+    frame_seed = jnp.asarray(frame_seed).astype(jnp.uint32)
     k = scene.leaf_size
     table = scene.node_table
     sentinel = table.shape[0]
     col_ps = 6 + 9 * k
+    shade_every = max(1, cfg.shade_every)
 
-    r_o, r_d = generate_rays(cam, width, height, seed, pixel_idx)
+    sample0 = jnp.zeros((n,), jnp.int32)
+    seed0 = _lane_seed(frame_seed, spp, sample0)
+    r_o, r_d = generate_rays(cam, width, height, seed0, pixel_idx)
 
     f3 = lambda: jnp.zeros((n, 3), jnp.float32)
     st = dict(
@@ -74,7 +90,10 @@ def render_sample_persistent(scene, textures, cam, seed, width: int,
         hit_id=jnp.full((n,), -1, jnp.int32),
         o=r_o, d=r_d,
         tp=jnp.ones((n, 3), jnp.float32),
-        rad=f3(),
+        rad=f3(),                     # current sample's radiance
+        out=f3(),                     # accumulated sanitized samples
+        sample=sample0,
+        seed=seed0,
         depth=jnp.zeros((n,), jnp.int32),
         prev_spec=jnp.ones((n,), bool),
         so=f3(), sd=f3(),
@@ -82,43 +101,42 @@ def render_sample_persistent(scene, textures, cam, seed, width: int,
         pend=f3(),
         cont_after_shadow=jnp.zeros((n,), bool),
         it=jnp.int32(0),
-        n_traced=jnp.float32(n),   # initial camera rays
+        n_traced=jnp.float32(n),      # sample-0 camera rays
         n_shadow=jnp.float32(0),
     )
-    if sentinel == 0:  # empty scene: every ray misses
+    if sentinel == 0:  # empty scene: every ray misses, all samples 0
         out = f3()
-        return (out, (st["n_traced"], st["n_shadow"])) if with_stats else out
+        stats = (jnp.float32(n * spp), jnp.float32(0))
+        return (out, stats) if with_stats else out
 
     keys = tuple(sorted(st.keys()))
-    pack = lambda d: tuple(d[kk] for kk in keys)
-    unpack = lambda t: dict(zip(keys, t))
+    pack = lambda dd: tuple(dd[kk] for kk in keys)
+    unpack = lambda tt: dict(zip(keys, tt))
 
     def cond(carry):
-        s = unpack(carry)
-        return jnp.any(s["mode"] != DONE)
+        return jnp.any(unpack(carry)["mode"] != DONE)
 
     def body(carry):
         s = unpack(carry)
-        s = _step(s, scene, table, sentinel, k, col_ps)
+        s = _step(s, table, sentinel, k, col_ps)
         do_shade = (s["it"] % shade_every) == (shade_every - 1)
         s = jax.lax.cond(
             do_shade,
-            lambda ss: _shade_ready(ss, scene, textures, seed, pixel_idx,
-                                    cfg),
+            lambda ss: _shade_and_refill(ss, scene, textures, cam,
+                                         frame_seed, pixel_idx, width,
+                                         height, cfg, spp),
             lambda ss: ss,
-            s,
-        )
+            s)
         s["it"] = s["it"] + 1
         return pack(s)
 
     final = unpack(jax.lax.while_loop(cond, body, pack(st)))
-    rad = _sanitize(final["rad"], cfg)
     if with_stats:
-        return rad, (final["n_traced"], final["n_shadow"])
-    return rad
+        return final["out"], (final["n_traced"], final["n_shadow"])
+    return final["out"]
 
 
-def _step(s, scene, table, sentinel, k: int, col_ps: int):
+def _step(s, table, sentinel, k: int, col_ps: int):
     """One traversal step for TRAVERSE and SHADOW lanes -- a single
     shared node-row gather serves both walks."""
     live_t = s["mode"] == TRAVERSE
@@ -182,12 +200,10 @@ def _step(s, scene, table, sentinel, k: int, col_ps: int):
     mode = s["mode"]
     mode = jnp.where(t_done, READY, mode)
     # A finished shadow ray resumes the (already-selected) next bounce
-    # unless its path ended at this bounce (depth cap): then DONE.
+    # unless its path ended at this bounce: then the lane refills.
     mode = jnp.where(s_done,
-                     jnp.where(s["cont_after_shadow"], TRAVERSE, DONE),
+                     jnp.where(s["cont_after_shadow"], TRAVERSE, REFILL),
                      mode)
-    # Shadow lanes resuming path traversal restart at the root with a
-    # fresh interval.
     cur = jnp.where(s_done, 0, cur)
     d_min = jnp.where(s_done, MISS_T, d_min)
     hit_id = jnp.where(s_done, -1, hit_id)
@@ -197,11 +213,18 @@ def _step(s, scene, table, sentinel, k: int, col_ps: int):
     return out
 
 
-def _shade_ready(s, scene, textures, seed, pixel_idx, cfg: RenderConfig):
+def _shade_and_refill(s, scene, textures, cam, frame_seed, pixel_idx,
+                      width, height, cfg: RenderConfig, spp: int):
+    s = _shade_ready(s, scene, textures, pixel_idx, cfg)
+    return _refill(s, cam, frame_seed, pixel_idx, width, height, cfg, spp)
+
+
+def _shade_ready(s, scene, textures, pixel_idx, cfg: RenderConfig):
     """Shade every READY lane: the full reference shading block
     (renderer.cu:427-733) in masked form, slot-addressed RNG by the
-    lane's own depth."""
+    lane's own (sample seed, depth)."""
     ready = s["mode"] == READY
+    seed = s["seed"]
     sid = jnp.maximum(s["hit_id"], 0)
     found = s["hit_id"] >= 0
     alive = ready & found  # miss -> path ends (renderer.cu:427)
@@ -329,18 +352,14 @@ def _shade_ready(s, scene, textures, seed, pixel_idx, cfg: RenderConfig):
     new_prev = jnp.where(m_spec | m_trans, True,
                          jnp.where(m_diff, False, s["prev_spec"]))
 
-    # Depth cap: a path that completes bounce (max_depth - 1) ends
-    # (the reference's for-loop bound, renderer.cu:367).  NEE still
-    # fires at the final depth -- the reference runs the full diffuse
-    # branch body before the loop exits.
+    # Depth cap (renderer.cu:367): NEE still fires at the final depth
+    # (the reference runs the full diffuse body before the loop exits).
     next_depth = depth + 1
     alive = alive & (next_depth < cfg.max_depth)
-    shadow_fire = ready & has_shadow  # has_shadow implies m_diff
+    shadow_fire = ready & has_shadow  # implies m_diff
 
-    out = dict(s)
     mode = s["mode"]
-    # READY lanes become DONE unless they continue or owe a shadow ray.
-    mode = jnp.where(ready, DONE, mode)
+    mode = jnp.where(ready, REFILL, mode)  # default: path over
     cont = ready & alive
     mode = jnp.where(cont & ~has_shadow, TRAVERSE, mode)
     mode = jnp.where(shadow_fire, SHADOW, mode)
@@ -350,6 +369,7 @@ def _shade_ready(s, scene, textures, seed, pixel_idx, cfg: RenderConfig):
     d_min = jnp.where(ready, MISS_T, s["d_min"])
     hit_id = jnp.where(ready, -1, s["hit_id"])
 
+    out = dict(s)
     out.update(
         mode=mode, cur=cur, d_min=d_min, hit_id=hit_id,
         o=jnp.where(ready[..., None], new_o, o),
@@ -365,3 +385,42 @@ def _shade_ready(s, scene, textures, seed, pixel_idx, cfg: RenderConfig):
         n_shadow=s["n_shadow"] + shadow_fire.sum().astype(jnp.float32),
     )
     return out
+
+
+def _refill(s, cam, frame_seed, pixel_idx, width, height,
+            cfg: RenderConfig, spp: int):
+    """Path regeneration: flush the finished sample's radiance through
+    the reference's sanitation filters (renderer.cu:737-759) and start
+    the lane's next sample, or retire the lane when spp is exhausted."""
+    refill = s["mode"] == REFILL
+    flushed = _sanitize(s["rad"], cfg)
+    out = s["out"] + jnp.where(refill[..., None], flushed, 0.0)
+    rad = jnp.where(refill[..., None], 0.0, s["rad"])
+
+    next_sample = s["sample"] + 1
+    exhausted = next_sample >= spp
+    new_seed = _lane_seed(frame_seed, spp, next_sample)
+    r_o, r_d = generate_rays(cam, width, height, new_seed, pixel_idx)
+
+    start = refill & ~exhausted
+    st3 = start[..., None]
+    mode = jnp.where(refill, jnp.where(exhausted, DONE, TRAVERSE),
+                     s["mode"])
+    res = dict(s)
+    res.update(
+        mode=mode,
+        cur=jnp.where(start, 0, s["cur"]),
+        d_min=jnp.where(start, MISS_T, s["d_min"]),
+        hit_id=jnp.where(start, -1, s["hit_id"]),
+        o=jnp.where(st3, r_o, s["o"]),
+        d=jnp.where(st3, r_d, s["d"]),
+        tp=jnp.where(st3, 1.0, s["tp"]),
+        rad=rad,
+        out=out,
+        sample=jnp.where(refill, next_sample, s["sample"]),
+        seed=jnp.where(refill, new_seed, s["seed"]),
+        depth=jnp.where(start, 0, s["depth"]),
+        prev_spec=jnp.where(start, True, s["prev_spec"]),
+        n_traced=s["n_traced"] + start.sum().astype(jnp.float32),
+    )
+    return res

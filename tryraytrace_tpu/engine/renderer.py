@@ -63,7 +63,8 @@ class Renderer:
         self.width = self.cfg.width
         self.height = self.cfg.height
         self.scene, self.textures, self.bvh = upload_scene(
-            arrays, leaf_size=self.cfg.bvh_leaf_size)
+            arrays, leaf_size=self.cfg.bvh_leaf_size,
+            method=self.cfg.bvh_method)
         self.state = RenderState.zeros(self.width * self.height)
         self.frame = 1  # gpu_frame counter parity (main.cpp:149)
 

@@ -274,62 +274,56 @@ def _sanitize(rad, cfg: RenderConfig):
     return rad
 
 
-def _sample_fn(cfg: RenderConfig):
-    if cfg.engine == "persistent":
-        from tryraytrace_tpu.engine.persistent import render_sample_persistent
-
-        def fn(scene, textures, cam, seed, width, height, cfg, pixel_idx,
-               with_stats=False):
-            return render_sample_persistent(
-                scene, textures, cam, seed, width, height, cfg,
-                pixel_idx=pixel_idx, with_stats=with_stats,
-                shade_every=cfg.shade_every)
-
-        return fn
-    if cfg.engine == "bounce":
-        return render_sample
-    raise ValueError(f"unknown engine {cfg.engine!r}")
-
-
 def render_frame(scene, textures, cam, frame_seed, width: int, height: int,
-                 cfg: RenderConfig, spp: int | None = None, pixel_idx=None):
-    """Sum ``spp`` independent 1-spp passes -> radiance sum [N, 3].
+                 cfg: RenderConfig, spp: int | None = None, pixel_idx=None,
+                 with_stats: bool = False):
+    """One frame's radiance sum over ``spp`` samples -> [N, 3].
 
     The reference accumulates one sample per kernel launch with the
     frame counter as the seed (main.cpp:181, renderer.cu:326); seeds
     here are ``1984 + frame*spp + s`` so any (frame, spp) tiling of
     the same total sample count yields the same set of RNG streams.
+    The persistent engine renders all spp in one regenerating wave;
+    the bounce engine loops samples.  Identical images either way.
     """
     spp = cfg.spp if spp is None else spp
     frame_seed = jnp.asarray(frame_seed).astype(jnp.uint32)
     n = width * height if pixel_idx is None else pixel_idx.shape[0]
-    sample = _sample_fn(cfg)
 
-    def body(s, acc):
+    if cfg.engine == "persistent":
+        from tryraytrace_tpu.engine.persistent import render_frame_persistent
+
+        return render_frame_persistent(scene, textures, cam, frame_seed,
+                                       width, height, cfg, spp,
+                                       pixel_idx=pixel_idx,
+                                       with_stats=with_stats)
+    if cfg.engine != "bounce":
+        raise ValueError(f"unknown engine {cfg.engine!r}")
+
+    def body(s, carry):
+        acc, tr_all, sh_all = carry
         seed = (jnp.uint32(1984) + frame_seed * jnp.uint32(spp)
                 + jnp.uint32(s))
-        return acc + sample(scene, textures, cam, seed,
-                            width, height, cfg, pixel_idx)
+        rad, (tr, sh) = render_sample(scene, textures, cam, seed,
+                                      width, height, cfg, pixel_idx,
+                                      with_stats=True)
+        return acc + rad, tr_all + tr, sh_all + sh
 
-    acc0 = jnp.zeros((n, 3), jnp.float32)
+    zero = jnp.float32(0)
+    carry0 = (jnp.zeros((n, 3), jnp.float32), zero, zero)
     if spp == 1:
-        return body(0, acc0)
-    return jax.lax.fori_loop(0, spp, body, acc0)
+        acc, tr, sh = body(0, carry0)
+    else:
+        acc, tr, sh = jax.lax.fori_loop(0, spp, body, carry0)
+    if with_stats:
+        return acc, (tr, sh)
+    return acc
 
 
 def frame_ray_stats(scene, textures, cam, frame_seed, width: int,
                     height: int, cfg: RenderConfig, spp: int):
     """Total (path rays, shadow rays) traced for one frame -- the ray
     count that, divided by frame time, gives Mrays/s (BASELINE.md)."""
-    frame_seed = jnp.asarray(frame_seed).astype(jnp.uint32)
-    sample = _sample_fn(cfg)
-
-    def body(s, acc):
-        seed = (jnp.uint32(1984) + frame_seed * jnp.uint32(spp)
-                + jnp.uint32(s))
-        _, (tr, sh) = sample(scene, textures, cam, seed, width,
-                             height, cfg, None, with_stats=True)
-        return acc[0] + tr, acc[1] + sh
-
-    zero = jnp.zeros((), jnp.float32)
-    return jax.lax.fori_loop(0, spp, body, (zero, zero))
+    _, stats = render_frame(scene, textures, cam, frame_seed, width,
+                            height, cfg, spp=spp, with_stats=True)
+    return stats

@@ -100,7 +100,8 @@ class ShardedRenderer:
         self.cfg = cfg
         self.width, self.height = cfg.width, cfg.height
         scene, textures, bvh = upload_scene(arrays, device_put=False,
-                                            leaf_size=cfg.bvh_leaf_size)
+                                            leaf_size=cfg.bvh_leaf_size,
+                                            method=cfg.bvh_method)
         repl = NamedSharding(self.mesh, P())
         self.scene = jax.device_put(scene, repl)
         self.textures = tuple(jax.device_put(t, repl) for t in textures)
