@@ -140,3 +140,26 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(st2.spp) == 7
     assert cam2.yaw == -45.0 and cam2.aperture == 0.5
     np.testing.assert_allclose(cam2.pos, (1, 2, 3))
+
+
+def test_app_periodic_checkpoint(tmp_path):
+    from tryraytrace_tpu.config import RenderConfig
+    from tryraytrace_tpu.display.app import App
+    from tryraytrace_tpu.display.input import ScriptedInput
+    from tryraytrace_tpu.engine.state import load_checkpoint
+    from tryraytrace_tpu.scene.cornell import create_cornell_box
+    from tryraytrace_tpu.scene.model import flatten_scene
+    from tryraytrace_tpu.scene.assets import checker_texture
+
+    arrays = flatten_scene(create_cornell_box(mesh=None),
+                           textures=[checker_texture(16)])
+    cfg = RenderConfig(width=12, height=8, spp=1)
+    ck = tmp_path / "auto.npz"
+    app = App(arrays, cfg, input_source=ScriptedInput([{}] * 5),
+              out_dir=str(tmp_path), checkpoint_every=2,
+              checkpoint_path=str(ck))
+    app.run()
+    assert ck.exists()
+    state, w, h, seed, cam = load_checkpoint(ck)
+    assert (w, h) == (12, 8)
+    assert int(state.spp) >= 2

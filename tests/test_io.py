@@ -58,3 +58,18 @@ def test_save_snapshot_naming(tmp_path):
     assert "_Frame7_F240.0_A0.25.ppm" in base
     img = load_ppm(path)
     assert img.shape == (4, 4, 3)
+
+
+def test_pallas_tonemap_matches_host():
+    import jax
+    import jax.numpy as jnp
+
+    from tryraytrace_tpu.ops.pallas_tonemap import tonemap_device
+
+    rng = np.random.RandomState(3)
+    accum = (rng.rand(333, 3) * 8).astype(np.float32)
+    interpret = jax.devices()[0].platform == "cpu"
+    got = np.asarray(tonemap_device(jnp.asarray(accum), jnp.int32(5),
+                                    interpret=interpret))
+    want = tonemap_accum(accum.reshape(333, 1, 3), 5).reshape(333, 3)
+    np.testing.assert_array_equal(got, want)

@@ -156,6 +156,14 @@ def cmd_interactive(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    if args.config:
+        from tryraytrace_tpu.benchmarks import CONFIGS, run_config
+
+        names = CONFIGS if args.config == "all" else [args.config]
+        for name in names:
+            print(json.dumps(run_config(name, frames=args.frames)),
+                  flush=True)
+        return 0
     import bench as bench_mod  # repo-root bench.py is the harness
 
     sys.argv = ["bench.py",
@@ -206,6 +214,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("bench", help="performance benchmark (JSON line)")
     _add_scene_args(p)
     p.add_argument("--frames", type=int, default=3)
+    p.add_argument("--config", default=None,
+                   help="BASELINE.json config: cube256 | teapot512 | "
+                        "cow800 | teddy1024 | flythrough1080 | all")
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("info", help="device + scene info")

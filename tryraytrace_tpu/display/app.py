@@ -30,7 +30,8 @@ class App:
     def __init__(self, arrays, cfg: RenderConfig,
                  camera: CameraController | None = None,
                  input_source=None, window: bool = False,
-                 out_dir: str = "."):
+                 out_dir: str = ".", checkpoint_every: int = 0,
+                 checkpoint_path: str | None = None):
         self.cfg = cfg
         self.renderer = Renderer(arrays, cfg=cfg)
         self.camera = camera or CameraController()
@@ -39,6 +40,11 @@ class App:
         self.frames_displayed = 0
         self.snapshots: list[str] = []
         self._quit = False
+        # Elastic-recovery extension (SURVEY.md section 5): the
+        # reference loses all render state on any interruption; a
+        # periodic raw-accumulator checkpoint enables exact resume.
+        self.checkpoint_every = checkpoint_every
+        self.checkpoint_path = checkpoint_path or f"{out_dir}/render_state.npz"
 
         self._window = None
         if window:
@@ -84,6 +90,14 @@ class App:
         # cudaDeviceSynchronize at main.cpp:192.
         accum = r.accum_host()
         self.pipeline.try_dispatch(accum, max(r.spp(), 1))
+
+        if (self.checkpoint_every and
+                r.frame % self.checkpoint_every == 0):
+            from tryraytrace_tpu.engine.state import save_checkpoint
+
+            save_checkpoint(self.checkpoint_path, r.state, self.cfg.width,
+                            self.cfg.height, camera=self.camera,
+                            frame_seed=r.frame)
 
         if self.pipeline.check_frame_ready():
             self.frames_displayed += 1

@@ -119,14 +119,18 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     def body(carry):
         s = unpack(carry)
         s = _step(s, table, sentinel, k, col_ps)
-        do_shade = (s["it"] % shade_every) == (shade_every - 1)
-        s = jax.lax.cond(
-            do_shade,
-            lambda ss: _shade_and_refill(ss, scene, textures, cam,
-                                         frame_seed, pixel_idx, width,
-                                         height, cfg, spp),
-            lambda ss: ss,
-            s)
+        if shade_every == 1:
+            s = _shade_and_refill(s, scene, textures, cam, frame_seed,
+                                  pixel_idx, width, height, cfg, spp)
+        else:
+            do_shade = (s["it"] % shade_every) == (shade_every - 1)
+            s = jax.lax.cond(
+                do_shade,
+                lambda ss: _shade_and_refill(ss, scene, textures, cam,
+                                             frame_seed, pixel_idx, width,
+                                             height, cfg, spp),
+                lambda ss: ss,
+                s)
         s["it"] = s["it"] + 1
         return pack(s)
 

@@ -92,8 +92,21 @@ class Renderer:
     def spp(self) -> int:
         return int(self.state.spp)
 
-    def image(self) -> np.ndarray:
-        """Tonemapped uint8 [H, W, 3] of the current accumulation."""
+    def image(self, on_device: bool | None = None) -> np.ndarray:
+        """Tonemapped uint8 [H, W, 3] of the current accumulation.
+
+        ``on_device=True`` runs the Pallas tonemap kernel on the TPU so
+        only uint8 pixels are transferred (ops/pallas_tonemap.py);
+        default: device path on TPU, host path elsewhere.
+        """
+        if on_device is None:
+            on_device = jax.devices()[0].platform not in ("cpu",)
+        if on_device:
+            from tryraytrace_tpu.ops.pallas_tonemap import tonemap_image
+
+            img = tonemap_image(self.state.accum,
+                                jnp.maximum(self.state.spp, 1))
+            return np.asarray(img).reshape(self.height, self.width, 3)
         return tonemap_accum(self.accum_host(), max(self.spp(), 1))
 
     def block_until_ready(self) -> None:
