@@ -38,6 +38,9 @@ def main() -> int:
     ap.add_argument("--frames", type=int, default=3)
     ap.add_argument("--mesh", default="teapot.obj")
     ap.add_argument("--engine", default=None, help="persistent | bounce")
+    ap.add_argument("--shade-every", type=int, default=None)
+    ap.add_argument("--leaf-size", type=int, default=None)
+    ap.add_argument("--bvh", default=None, help="sah | median")
     args = ap.parse_args()
 
     import jax
@@ -61,6 +64,12 @@ def main() -> int:
     cfg = RenderConfig(width=w, height=h, spp=spp)
     if args.engine:
         cfg = cfg.replace(engine=args.engine)
+    if args.shade_every:
+        cfg = cfg.replace(shade_every=args.shade_every)
+    if args.leaf_size:
+        cfg = cfg.replace(bvh_leaf_size=args.leaf_size)
+    if args.bvh:
+        cfg = cfg.replace(bvh_method=args.bvh)
 
     t0 = time.time()
     scene, textures, bvh = upload_scene(arrays, leaf_size=cfg.bvh_leaf_size,
@@ -88,11 +97,22 @@ def main() -> int:
         f"shadow {float(sh) / 1e6:.2f}M; "
         f"{rays_per_frame / (w * h * spp):.2f} per primary sample)")
 
+    # Adaptive frame count: at 1080p a frame can take minutes; one
+    # timed frame is enough for a stable number there, while fast
+    # configs average over the requested count.
     t0 = time.time()
-    for f in range(args.frames):
-        accum, tr, sh = step(accum, jnp.uint32(2 + f))
+    accum, tr, sh = step(accum, jnp.uint32(2))
     jax.block_until_ready(accum)
-    dt = (time.time() - t0) / args.frames
+    first_dt = time.time() - t0
+    frames = 1 if first_dt > 60.0 else args.frames
+    if frames > 1:
+        t0 = time.time()
+        for f in range(frames - 1):
+            accum, tr, sh = step(accum, jnp.uint32(3 + f))
+        jax.block_until_ready(accum)
+        dt = (first_dt + time.time() - t0) / frames
+    else:
+        dt = first_dt
     mrays = rays_per_frame / dt / 1e6
     log(f"[bench] steady state: {dt * 1e3:.1f} ms/frame over "
         f"{args.frames} frames -> {mrays:.2f} Mrays/s")

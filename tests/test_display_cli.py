@@ -163,3 +163,46 @@ def test_app_periodic_checkpoint(tmp_path):
     state, w, h, seed, cam = load_checkpoint(ck)
     assert (w, h) == (12, 8)
     assert int(state.spp) >= 2
+
+
+def test_pipeline_dispatch_reset_hammer():
+    """SURVEY.md section 5 race-detection plan: hammer the single-slot
+    mailbox with concurrent dispatch/consume interleavings from
+    multiple producer threads; the pipeline must never deadlock,
+    crash, or deliver a torn frame (pixel buffer writes are only
+    published after frame_ready)."""
+    import threading
+
+    p = DisplayPipeline(32, 32)
+    n = 32 * 32
+    stop = threading.Event()
+    errors = []
+
+    def producer(tid):
+        try:
+            for i in range(300):
+                accum = np.full((n, 3), float(tid + 1), np.float32)
+                p.try_dispatch(accum, 1)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=producer, args=(t,))
+               for t in range(4)]
+    for t in threads:
+        t.start()
+    consumed = 0
+    deadline = time.time() + 10
+    while any(t.is_alive() for t in threads) and time.time() < deadline:
+        if p.check_frame_ready():
+            consumed += 1
+            # A published frame must be uniform (no torn writes): all
+            # pixels from the same producer's dispatch.
+            buf = p.pixel_buffer.copy()
+            assert (buf == buf[0]).all()
+    for t in threads:
+        t.join(timeout=5)
+        assert not t.is_alive()
+    stop.set()
+    p.destroy()
+    assert not errors
+    assert consumed >= 1
