@@ -72,6 +72,10 @@ class RenderConfig:
     # every this many traversal steps (amortizes the shading gathers;
     # any value gives identical images).
     shade_every: int = 4
+    # Tail spill: once fewer than ~1/32 of lanes remain live, compact
+    # the survivors into a 1/16-width continuation wave (exact lane
+    # permutation; identical images).  See docs/PERFORMANCE.md.
+    tail_spill: bool = True
 
     def with_size(self, width: int, height: int) -> "RenderConfig":
         return dataclasses.replace(self, width=width, height=height)

@@ -104,6 +104,7 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
         n_traced=jnp.float32(n),      # sample-0 camera rays
         n_shadow=jnp.float32(0),
     )
+    st["cnt"] = jnp.int32(n)  # live-lane count as of the last shade tick
     if sentinel == 0:  # empty scene: every ray misses, all samples 0
         out = f3()
         stats = (jnp.float32(n * spp), jnp.float32(0))
@@ -113,28 +114,68 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     pack = lambda dd: tuple(dd[kk] for kk in keys)
     unpack = lambda tt: dict(zip(keys, tt))
 
-    def cond(carry):
-        return jnp.any(unpack(carry)["mode"] != DONE)
+    # Tail spill (docs/PERFORMANCE.md): the main wave exits once fewer
+    # than 1/32 of lanes remain (every iteration still costs the full
+    # width); the survivors are compacted -- inside the same jit, an
+    # exact permutation of independent lanes -- into a 1/16-width
+    # continuation wave that runs to completion.
+    spill_width = max(min(n, 64), n // 16)
+    exit_threshold = spill_width // 2
 
-    def body(carry):
+    def make_body(pidx):
+        def body(carry):
+            s = unpack(carry)
+            s = _step(s, table, sentinel, k, col_ps)
+
+            def tick(ss):
+                ss = _shade_and_refill(ss, scene, textures, cam,
+                                       frame_seed, pidx, width, height,
+                                       cfg, spp)
+                ss["cnt"] = (ss["mode"] != DONE).sum().astype(jnp.int32)
+                return ss
+
+            if shade_every == 1:
+                s = tick(s)
+            else:
+                do_shade = (s["it"] % shade_every) == (shade_every - 1)
+                s = jax.lax.cond(do_shade, tick, lambda ss: ss, s)
+            s["it"] = s["it"] + 1
+            return pack(s)
+
+        return body
+
+    def main_cond(carry):
         s = unpack(carry)
-        s = _step(s, table, sentinel, k, col_ps)
-        if shade_every == 1:
-            s = _shade_and_refill(s, scene, textures, cam, frame_seed,
-                                  pixel_idx, width, height, cfg, spp)
-        else:
-            do_shade = (s["it"] % shade_every) == (shade_every - 1)
-            s = jax.lax.cond(
-                do_shade,
-                lambda ss: _shade_and_refill(ss, scene, textures, cam,
-                                             frame_seed, pixel_idx, width,
-                                             height, cfg, spp),
-                lambda ss: ss,
-                s)
-        s["it"] = s["it"] + 1
-        return pack(s)
+        return jnp.any(s["mode"] != DONE) & (s["cnt"] > exit_threshold)
 
-    final = unpack(jax.lax.while_loop(cond, body, pack(st)))
+    final = unpack(jax.lax.while_loop(main_cond, make_body(pixel_idx),
+                                      pack(st)))
+
+    if cfg.tail_spill and spill_width < n:
+        # Compact the unfinished lanes (plus done fillers) to the front.
+        sel = jnp.argsort(final["mode"] == DONE)[:spill_width]
+        lane_keys = [kk for kk in keys
+                     if getattr(final[kk], "ndim", 0) >= 1]
+        small = dict(final)
+        for kk in lane_keys:
+            small[kk] = final[kk][sel]
+        pidx_small = pixel_idx[sel]
+
+        def small_cond(carry):
+            return jnp.any(unpack(carry)["mode"] != DONE)
+
+        small = unpack(jax.lax.while_loop(
+            small_cond, make_body(pidx_small), pack(small)))
+        final["out"] = final["out"].at[sel].set(small["out"])
+        final["n_traced"] = small["n_traced"]
+        final["n_shadow"] = small["n_shadow"]
+    else:
+        def small_cond(carry):
+            return jnp.any(unpack(carry)["mode"] != DONE)
+
+        final = unpack(jax.lax.while_loop(
+            small_cond, make_body(pixel_idx), pack(final)))
+
     if with_stats:
         return final["out"], (final["n_traced"], final["n_shadow"])
     return final["out"]
