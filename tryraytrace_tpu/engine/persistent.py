@@ -58,16 +58,25 @@ REFILL = 3
 DONE = 4
 
 
-def _lane_seed(frame_seed, spp: int, sample):
-    return (jnp.uint32(1984) + frame_seed.astype(jnp.uint32) * jnp.uint32(spp)
+def _lane_seed(frame_seed, seed_spp: int, sample):
+    return (jnp.uint32(1984)
+            + frame_seed.astype(jnp.uint32) * jnp.uint32(seed_spp)
             + sample.astype(jnp.uint32))
 
 
 def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
                             height: int, cfg: RenderConfig, spp: int,
-                            pixel_idx=None, with_stats: bool = False):
+                            pixel_idx=None, with_stats: bool = False,
+                            sample_offset: int = 0,
+                            seed_spp: int | None = None):
     """All ``spp`` samples of one frame in a single regenerating wave.
-    Returns the per-pixel radiance *sum* [N, 3] (+ ray stats)."""
+    Returns the per-pixel radiance *sum* [N, 3] (+ ray stats).
+
+    ``sample_offset``/``seed_spp``: see render_frame -- a
+    sample-parallel shard renders samples [offset, offset+spp) of a
+    ``seed_spp``-sample frame with the frame's global RNG streams.
+    """
+    seed_spp = spp if seed_spp is None else seed_spp
     n = width * height if pixel_idx is None else pixel_idx.shape[0]
     if pixel_idx is None:
         pixel_idx = jnp.arange(n, dtype=jnp.int32)
@@ -79,7 +88,8 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     shade_every = max(1, cfg.shade_every)
 
     sample0 = jnp.zeros((n,), jnp.int32)
-    seed0 = _lane_seed(frame_seed, spp, sample0)
+    seed0 = _lane_seed(frame_seed, seed_spp,
+                       sample0 + jnp.int32(sample_offset))
     r_o, r_d = generate_rays(cam, width, height, seed0, pixel_idx)
 
     f3 = lambda: jnp.zeros((n, 3), jnp.float32)
@@ -130,7 +140,7 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
             def tick(ss):
                 ss = _shade_and_refill(ss, scene, textures, cam,
                                        frame_seed, pidx, width, height,
-                                       cfg, spp)
+                                       cfg, spp, sample_offset, seed_spp)
                 ss["cnt"] = (ss["mode"] != DONE).sum().astype(jnp.int32)
                 return ss
 
@@ -259,9 +269,11 @@ def _step(s, table, sentinel, k: int, col_ps: int):
 
 
 def _shade_and_refill(s, scene, textures, cam, frame_seed, pixel_idx,
-                      width, height, cfg: RenderConfig, spp: int):
+                      width, height, cfg: RenderConfig, spp: int,
+                      sample_offset: int, seed_spp: int):
     s = _shade_ready(s, scene, textures, pixel_idx, cfg)
-    return _refill(s, cam, frame_seed, pixel_idx, width, height, cfg, spp)
+    return _refill(s, cam, frame_seed, pixel_idx, width, height, cfg, spp,
+                   sample_offset, seed_spp)
 
 
 def _shade_ready(s, scene, textures, pixel_idx, cfg: RenderConfig):
@@ -433,7 +445,8 @@ def _shade_ready(s, scene, textures, pixel_idx, cfg: RenderConfig):
 
 
 def _refill(s, cam, frame_seed, pixel_idx, width, height,
-            cfg: RenderConfig, spp: int):
+            cfg: RenderConfig, spp: int, sample_offset: int,
+            seed_spp: int):
     """Path regeneration: flush the finished sample's radiance through
     the reference's sanitation filters (renderer.cu:737-759) and start
     the lane's next sample, or retire the lane when spp is exhausted."""
@@ -444,7 +457,8 @@ def _refill(s, cam, frame_seed, pixel_idx, width, height,
 
     next_sample = s["sample"] + 1
     exhausted = next_sample >= spp
-    new_seed = _lane_seed(frame_seed, spp, next_sample)
+    new_seed = _lane_seed(frame_seed, seed_spp,
+                          next_sample + jnp.int32(sample_offset))
     r_o, r_d = generate_rays(cam, width, height, new_seed, pixel_idx)
 
     start = refill & ~exhausted

@@ -276,17 +276,22 @@ def _sanitize(rad, cfg: RenderConfig):
 
 def render_frame(scene, textures, cam, frame_seed, width: int, height: int,
                  cfg: RenderConfig, spp: int | None = None, pixel_idx=None,
-                 with_stats: bool = False):
+                 with_stats: bool = False, sample_offset: int = 0,
+                 seed_spp: int | None = None):
     """One frame's radiance sum over ``spp`` samples -> [N, 3].
 
     The reference accumulates one sample per kernel launch with the
     frame counter as the seed (main.cpp:181, renderer.cu:326); seeds
-    here are ``1984 + frame*spp + s`` so any (frame, spp) tiling of
-    the same total sample count yields the same set of RNG streams.
-    The persistent engine renders all spp in one regenerating wave;
-    the bounce engine loops samples.  Identical images either way.
+    here are ``1984 + frame*seed_spp + (sample_offset + s)`` so any
+    (frame, spp) tiling of the same total sample count yields the same
+    set of RNG streams -- ``sample_offset``/``seed_spp`` let a
+    sample-parallel mesh shard render its slice of the frame's sample
+    set with bit-identical streams.  The persistent engine renders all
+    spp in one regenerating wave; the bounce engine loops samples.
+    Identical images either way.
     """
     spp = cfg.spp if spp is None else spp
+    seed_spp = spp if seed_spp is None else seed_spp
     frame_seed = jnp.asarray(frame_seed).astype(jnp.uint32)
     n = width * height if pixel_idx is None else pixel_idx.shape[0]
 
@@ -296,14 +301,16 @@ def render_frame(scene, textures, cam, frame_seed, width: int, height: int,
         return render_frame_persistent(scene, textures, cam, frame_seed,
                                        width, height, cfg, spp,
                                        pixel_idx=pixel_idx,
-                                       with_stats=with_stats)
+                                       with_stats=with_stats,
+                                       sample_offset=sample_offset,
+                                       seed_spp=seed_spp)
     if cfg.engine != "bounce":
         raise ValueError(f"unknown engine {cfg.engine!r}")
 
     def body(s, carry):
         acc, tr_all, sh_all = carry
-        seed = (jnp.uint32(1984) + frame_seed * jnp.uint32(spp)
-                + jnp.uint32(s))
+        seed = (jnp.uint32(1984) + frame_seed * jnp.uint32(seed_spp)
+                + jnp.uint32(sample_offset) + jnp.uint32(s))
         rad, (tr, sh) = render_sample(scene, textures, cam, seed,
                                       width, height, cfg, pixel_idx,
                                       with_stats=True)

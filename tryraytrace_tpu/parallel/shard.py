@@ -26,7 +26,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from tryraytrace_tpu.config import RenderConfig
 from tryraytrace_tpu.engine.state import RenderState
-from tryraytrace_tpu.engine.wavefront import render_sample
+from tryraytrace_tpu.engine.wavefront import render_frame
 from tryraytrace_tpu.parallel.mesh import SAMPLE_AXIS, TILE_AXIS, make_mesh
 from tryraytrace_tpu.utils.jaxtools import enable_compilation_cache
 
@@ -52,16 +52,14 @@ def render_frame_sharded(scene, textures, cam, frame_seed, width: int,
     pixel_idx = jnp.arange(n, dtype=jnp.int32)
 
     def local(scene, textures, cam, frame_seed, pixels):
-        s_idx = jax.lax.axis_index(SAMPLE_AXIS).astype(jnp.uint32)
-
-        def body(s, acc):
-            sample = s_idx * jnp.uint32(local_spp) + jnp.uint32(s)
-            seed = (jnp.uint32(1984) + frame_seed * jnp.uint32(spp) + sample)
-            return acc + render_sample(scene, textures, cam, seed,
-                                       width, height, cfg, pixel_idx=pixels)
-
-        acc0 = jnp.zeros((pixels.shape[0], 3), jnp.float32)
-        acc = jax.lax.fori_loop(0, local_spp, body, acc0)
+        # Shard s of the sample axis renders samples
+        # [s*local_spp, (s+1)*local_spp) of the frame's global sample
+        # set with the frame's global RNG streams, so the psum'd image
+        # is bit-identical to the single-chip render.
+        s_idx = jax.lax.axis_index(SAMPLE_AXIS).astype(jnp.int32)
+        acc = render_frame(scene, textures, cam, frame_seed, width,
+                           height, cfg, spp=local_spp, pixel_idx=pixels,
+                           sample_offset=s_idx * local_spp, seed_spp=spp)
         return jax.lax.psum(acc, SAMPLE_AXIS)
 
     fn = jax.shard_map(
