@@ -79,3 +79,16 @@ def test_ray_stats_match(arrays):
         counts[engine] = (float(tr), float(sh))
     assert counts["bounce"] == counts["persistent"]
     assert counts["bounce"][0] >= 32 * 16  # at least the camera rays
+
+
+def test_chunked_wave_bit_identical(arrays):
+    cfg0 = RenderConfig(width=40, height=24, spp=2)
+    cfg1 = cfg0.replace(max_wave_lanes=240)
+    cam = CameraController()
+    p = cam.get_params(40, 24)
+    outs = []
+    for cfg in (cfg0, cfg1):
+        r = Renderer(arrays, cfg=cfg)
+        r.step(p, spp=2)
+        outs.append(r.accum_host())
+    np.testing.assert_array_equal(outs[0], outs[1])

@@ -70,12 +70,18 @@ class RenderConfig:
     engine: str = "persistent"
     # Shading cadence for the persistent engine: shade READY lanes
     # every this many traversal steps (amortizes the shading gathers;
-    # any value gives identical images).
-    shade_every: int = 4
+    # any value gives identical images).  8 measured best on v5e
+    # (BENCH sweep logs).
+    shade_every: int = 8
     # Tail spill: once fewer than ~1/32 of lanes remain live, compact
     # the survivors into a 1/16-width continuation wave (exact lane
     # permutation; identical images).  See docs/PERFORMANCE.md.
     tail_spill: bool = True
+    # Cap on persistent-wave width: frames with more pixels render in
+    # sequential pixel chunks of at most this many lanes (0 = one
+    # wave).  RNG streams are absolute, so chunking never changes the
+    # image.
+    max_wave_lanes: int = 0
 
     def with_size(self, width: int, height: int) -> "RenderConfig":
         return dataclasses.replace(self, width=width, height=height)

@@ -38,6 +38,10 @@ from tryraytrace_tpu.ops.traverse import any_hit_packed, closest_hit_packed
 PI = np.float32(np.pi)
 
 
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
 def render_sample(scene, textures, cam, seed, width: int, height: int,
                   cfg: RenderConfig, pixel_idx=None, with_stats: bool = False):
     """Trace one 1-spp pass for all pixels -> radiance [N, 3].
@@ -297,6 +301,28 @@ def render_frame(scene, textures, cam, frame_seed, width: int, height: int,
 
     if cfg.engine == "persistent":
         from tryraytrace_tpu.engine.persistent import render_frame_persistent
+
+        mw = cfg.max_wave_lanes
+        if (mw and pixel_idx is None and n > mw and n % _cdiv(n, mw) == 0):
+            chunks = _cdiv(n, mw)
+            chunk = n // chunks
+            all_pix = jnp.arange(n, dtype=jnp.int32)
+
+            def body(c, carry):
+                acc, tr_all, sh_all = carry
+                pix = jax.lax.dynamic_slice(all_pix, (c * chunk,), (chunk,))
+                rad, (tr, sh) = render_frame_persistent(
+                    scene, textures, cam, frame_seed, width, height, cfg,
+                    spp, pixel_idx=pix, with_stats=True,
+                    sample_offset=sample_offset, seed_spp=seed_spp)
+                acc = jax.lax.dynamic_update_slice(acc, rad, (c * chunk, 0))
+                return acc, tr_all + tr, sh_all + sh
+
+            zero = jnp.float32(0)
+            acc, tr, sh = jax.lax.fori_loop(
+                0, chunks, body,
+                (jnp.zeros((n, 3), jnp.float32), zero, zero))
+            return (acc, (tr, sh)) if with_stats else acc
 
         return render_frame_persistent(scene, textures, cam, frame_seed,
                                        width, height, cfg, spp,
