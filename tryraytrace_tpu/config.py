@@ -80,8 +80,8 @@ class RenderConfig:
     # Cap on persistent-wave width: frames with more pixels render in
     # sequential pixel chunks of at most this many lanes (0 = one
     # wave).  RNG streams are absolute, so chunking never changes the
-    # image.
-    max_wave_lanes: int = 0
+    # image.  ~65k lanes measured ~20% faster than 262k on v5e.
+    max_wave_lanes: int = 65536
 
     def with_size(self, width: int, height: int) -> "RenderConfig":
         return dataclasses.replace(self, width=width, height=height)
