@@ -212,3 +212,24 @@ def test_pipeline_dispatch_reset_hammer():
     p.destroy()
     assert not errors
     assert consumed >= 1
+
+
+def test_app_windowed_dummy_driver(tmp_path, monkeypatch):
+    """Full pygame windowed path (blit, flip, title HUD) under SDL's
+    dummy video driver -- the interactive frontend minus a monitor."""
+    pytest.importorskip("pygame")
+    monkeypatch.setenv("SDL_VIDEODRIVER", "dummy")
+
+    from tryraytrace_tpu.config import RenderConfig
+    from tryraytrace_tpu.display.app import App
+    from tryraytrace_tpu.scene.assets import checker_texture
+    from tryraytrace_tpu.scene.cornell import create_cornell_box
+    from tryraytrace_tpu.scene.model import flatten_scene
+
+    arrays = flatten_scene(create_cornell_box(mesh=None),
+                           textures=[checker_texture(16)])
+    app = App(arrays, RenderConfig(width=24, height=16, spp=1),
+              window=True, out_dir=str(tmp_path))
+    app.run(max_frames=3)
+    assert app.frames_displayed >= 1
+    assert len(app.snapshots) == 1
