@@ -15,6 +15,7 @@ bindings.  SIGINT triggers save-and-exit like main.cpp:32-39,224.
 from __future__ import annotations
 
 import signal
+import time
 
 import numpy as np
 
@@ -83,7 +84,17 @@ class App:
             r.reset()  # main.cpp:170-173
 
         params = self.camera.get_params(self.cfg.width, self.cfg.height)
+        t0 = time.perf_counter()
         r.step(params)  # async dispatch (launch_render_kernel analogue)
+
+        # Perf HUD every 10 frames (SURVEY.md section 5 observability:
+        # the reference only had the window-title counter,
+        # main.cpp:213-218).
+        if r.frame % 10 == 0:
+            from tryraytrace_tpu.utils.logging import log_event
+
+            log_event("frame", n=r.frame, spp=r.spp(),
+                      dispatch_ms=round((time.perf_counter() - t0) * 1e3, 2))
 
         # Snapshot + drop-frame dispatch (main.cpp:183-198).  The
         # device->host read is the sync point, standing in for
