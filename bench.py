@@ -39,6 +39,7 @@ def main() -> int:
     ap.add_argument("--mesh", default="teapot.obj")
     ap.add_argument("--engine", default=None, help="persistent | bounce")
     ap.add_argument("--shade-every", type=int, default=None)
+    ap.add_argument("--step-unroll", type=int, default=None)
     ap.add_argument("--leaf-size", type=int, default=None)
     ap.add_argument("--bvh", default=None, help="sah | median")
     args = ap.parse_args()
@@ -66,6 +67,8 @@ def main() -> int:
         cfg = cfg.replace(engine=args.engine)
     if args.shade_every:
         cfg = cfg.replace(shade_every=args.shade_every)
+    if args.step_unroll:
+        cfg = cfg.replace(step_unroll=args.step_unroll)
     if args.leaf_size:
         cfg = cfg.replace(bvh_leaf_size=args.leaf_size)
     if args.bvh:

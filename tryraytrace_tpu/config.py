@@ -73,6 +73,12 @@ class RenderConfig:
     # any value gives identical images).  8 measured best on v5e
     # (BENCH sweep logs).
     shade_every: int = 8
+    # Traversal steps executed per while-loop iteration in the
+    # persistent engine.  Measured on v5e, a loop iteration containing
+    # gathers pays a ~0.27 ms fixed cost once regardless of how many
+    # gathers it contains, so unrolling dependent steps amortizes it.
+    # Results are identical for any value.
+    step_unroll: int = 1
     # Tail spill: once fewer than ~1/32 of lanes remain live, compact
     # the survivors into a 1/16-width continuation wave (exact lane
     # permutation; identical images).  See docs/PERFORMANCE.md.

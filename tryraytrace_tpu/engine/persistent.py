@@ -132,10 +132,13 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     spill_width = max(min(n, 64), n // 16)
     exit_threshold = spill_width // 2
 
+    step_unroll = max(1, cfg.step_unroll)
+
     def make_body(pidx):
         def body(carry):
             s = unpack(carry)
-            s = _step(s, table, sentinel, k, col_ps)
+            for _ in range(step_unroll):
+                s = _step(s, table, sentinel, k, col_ps)
 
             def tick(ss):
                 ss = _shade_and_refill(ss, scene, textures, cam,
