@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import time
 
-import numpy as np
-
 from tryraytrace_tpu.config import RenderConfig
 from tryraytrace_tpu.scene.assets import checker_texture, cube_mesh, find_asset
 from tryraytrace_tpu.scene.cornell import create_cornell_box
@@ -77,8 +75,7 @@ def run_config(name: str, frames: int = 2, engine: str | None = None,
     import jax
 
     from tryraytrace_tpu.camera.controller import CameraController
-    from tryraytrace_tpu.engine.renderer import Renderer, _render_step
-    from tryraytrace_tpu.engine.wavefront import render_frame
+    from tryraytrace_tpu.engine.renderer import Renderer
 
     arrays, w, h, spp, check = build_config(name)
     cfg = RenderConfig(width=w, height=h, spp=spp)

@@ -80,7 +80,7 @@ def cmd_render(args) -> int:
     from tryraytrace_tpu.io.ppm import save_ppm
     from tryraytrace_tpu.io.snapshot import tonemap_accum
     from tryraytrace_tpu.utils.logging import log_event
-    from tryraytrace_tpu.utils.profiling import PhaseTimer, mrays_per_sec
+    from tryraytrace_tpu.utils.profiling import PhaseTimer
 
     timer = PhaseTimer()
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,

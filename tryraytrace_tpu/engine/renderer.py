@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from tryraytrace_tpu.config import DEFAULT_CONFIG, RenderConfig
-from tryraytrace_tpu.engine.device_scene import DeviceScene, upload_scene
+from tryraytrace_tpu.engine.device_scene import upload_scene
 from tryraytrace_tpu.engine.state import RenderState
 from tryraytrace_tpu.engine.wavefront import render_frame
 from tryraytrace_tpu.io.snapshot import tonemap_accum
