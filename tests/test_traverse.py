@@ -103,3 +103,42 @@ def test_tmax_pruning_correct_under_occlusion():
     )
     assert abs(float(t[0]) - 1.0) < 1e-6
     assert float(pv0[int(hid[0])][2]) == 1.0
+
+
+def test_fatnode_closest_matches_brute_force():
+    from tryraytrace_tpu.accel.bvh import build_bvh, pack_fatnode_table
+    from tryraytrace_tpu.ops.traverse import closest_hit_fatnode
+
+    for seed, n_tris in ((0, 5), (1, 33), (2, 128), (3, 501)):
+        for method, K in (("median", 1), ("sah", 8)):
+            v0, v1, v2 = _random_scene(n_tris, seed)
+            bvh = build_bvh(v0, v1, v2, method=method, leaf_size=K)
+            pv0, pv1, pv2 = v0[bvh.perm], v1[bvh.perm], v2[bvh.perm]
+            table = jnp.asarray(pack_fatnode_table(bvh, pv0, pv1, pv2,
+                                                   leaf_size=K))
+            o, d = _random_rays(256, seed)
+            t, hid = closest_hit_fatnode(table, K, jnp.asarray(o),
+                                         jnp.asarray(d),
+                                         jnp.ones(256, bool))
+            t_ref, _ = _brute_closest(pv0, pv1, pv2, o, d)
+            np.testing.assert_allclose(np.asarray(t), t_ref, rtol=1e-5)
+
+
+def test_fatnode_any_hit_matches_brute_force():
+    from tryraytrace_tpu.accel.bvh import build_bvh, pack_fatnode_table
+    from tryraytrace_tpu.ops.traverse import any_hit_fatnode
+    from tryraytrace_tpu.oracle.cpu_renderer import _occluded_brute
+
+    for seed, n_tris in ((0, 17), (1, 99)):
+        v0, v1, v2 = _random_scene(n_tris, seed)
+        bvh = build_bvh(v0, v1, v2, method="sah", leaf_size=8)
+        pv0, pv1, pv2 = v0[bvh.perm], v1[bvh.perm], v2[bvh.perm]
+        table = jnp.asarray(pack_fatnode_table(bvh, pv0, pv1, pv2,
+                                               leaf_size=8))
+        o, d = _random_rays(256, seed + 50)
+        max_dist = np.full(256, 6.0, np.float32)
+        occ = any_hit_fatnode(table, 8, jnp.asarray(o), jnp.asarray(d),
+                              jnp.asarray(max_dist), jnp.ones(256, bool))
+        occ_ref = _occluded_brute(pv0, pv1, pv2, o, d, max_dist,
+                                  np.ones(256, bool))
+        np.testing.assert_array_equal(np.asarray(occ), occ_ref)

@@ -464,6 +464,58 @@ def pack_traversal_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
     return table
 
 
+# --- Fat-node traversal table (traversal v3) -------------------------
+#
+# The threaded table fetches every *tested* node; the fat-node layout
+# instead stores BOTH children's boxes in the parent row, so the
+# traversal only ever fetches nodes already known to be hit, descends
+# front-to-back by actual entry distance (better t_max pruning than
+# any static order), and keeps pending far children in a per-lane
+# register short-stack (free elementwise shifts; no per-lane memory
+# indexing).  ~0.5x the row fetches of the threaded walk.
+#
+# Row layout float32[M, 2 + max(12 + 2, 9K)]:
+#   col 0: prim_start (-1 for internal nodes)
+#   col 1: prim_count
+#   internal: cols 2:8 boxL, 8:14 boxR, 14: childL id, 15: childR id
+#   leaf:     cols 2:2+9K inline triangles
+FATNODE_STACK_DEPTH = 32  # mirrors the reference's stack (renderer.cu:387)
+
+
+def fatnode_row_width(leaf_size: int) -> int:
+    return 2 + max(14, 9 * leaf_size)
+
+
+def pack_fatnode_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
+                       v2: np.ndarray,
+                       leaf_size: int | None = None) -> np.ndarray:
+    m = bvh.num_nodes
+    k = int(leaf_size if leaf_size is not None
+            else max(1, bvh.leaf_count.max() if m else 1))
+    w = fatnode_row_width(k)
+    if m == 0:
+        return np.zeros((0, w), np.float32)
+    if bvh.max_depth() > FATNODE_STACK_DEPTH:
+        raise ValueError(f"tree depth {bvh.max_depth()} exceeds the "
+                         f"{FATNODE_STACK_DEPTH}-deep traversal stack")
+    table = np.zeros((m, w), np.float32)
+    table[:, 0] = bvh.leaf_prim.astype(np.float32)
+    table[:, 1] = bvh.leaf_count.astype(np.float32)
+
+    internal = np.nonzero(bvh.leaf_count == 0)[0]
+    table[internal, 2:8] = bvh.bounds[bvh.left[internal]]
+    table[internal, 8:14] = bvh.bounds[bvh.right[internal]]
+    table[internal, 14] = bvh.left[internal].astype(np.float32)
+    table[internal, 15] = bvh.right[internal].astype(np.float32)
+
+    tri_cat = np.concatenate([v0, v1, v2], axis=-1)
+    for node in np.nonzero(bvh.leaf_count > 0)[0]:
+        start = int(bvh.leaf_prim[node])
+        cnt = int(bvh.leaf_count[node])
+        table[node, 2:2 + 9 * cnt] = tri_cat[start:start + cnt].reshape(-1)
+    return table
+
+
 # Packed hit-data row layout (float32[24]): everything shading needs
 # about the hit primitive in one gather.
 TRIMAT_WIDTH = 24

@@ -73,6 +73,11 @@ class RenderConfig:
     # any value gives identical images).  8 measured best on v5e
     # (BENCH sweep logs).
     shade_every: int = 8
+    # Traversal scheme for the persistent engine: "fatnode" fetches
+    # both child boxes at the parent (front-to-back by true entry
+    # distance, register short-stack; ~0.5x the row fetches) or
+    # "threaded" (octant miss links, no stack).  Identical results.
+    traversal: str = "fatnode"
     # Traversal steps executed per while-loop iteration in the
     # persistent engine.  Measured on v5e, a loop iteration containing
     # gathers pays a ~0.27 ms fixed cost once regardless of how many

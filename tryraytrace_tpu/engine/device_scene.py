@@ -17,6 +17,7 @@ import numpy as np
 from tryraytrace_tpu.accel.bvh import (
     LinearBVH,
     build_bvh,
+    pack_fatnode_table,
     pack_traversal_table,
     pack_trimat_table,
 )
@@ -43,7 +44,8 @@ class DeviceScene:
     bvh_bounds: jax.Array      # [M, 6]
     bvh_leaf_prim: jax.Array   # [M]
     bvh_miss: jax.Array        # [M]
-    node_table: jax.Array      # [M, 9K+24] fused fat-leaf traversal rows
+    node_table: jax.Array      # [M, 9K+24] threaded traversal rows
+    fatnode_table: jax.Array   # [M, 2+max(14,9K)] fat-node traversal rows
     trimat: jax.Array          # [T, 24] fused triangle+material rows
     num_lights: int = dataclasses.field(metadata=dict(static=True))
     leaf_size: int = dataclasses.field(metadata=dict(static=True), default=8)
@@ -95,6 +97,9 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
         bvh_leaf_prim=put(bvh.leaf_prim),
         bvh_miss=put(bvh.miss),
         node_table=put(pack_traversal_table(
+            bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
+            leaf_size=leaf_size)),
+        fatnode_table=put(pack_fatnode_table(
             bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
             leaf_size=leaf_size)),
         trimat=put(pack_trimat_table(ordered)),

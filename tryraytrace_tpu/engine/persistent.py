@@ -46,7 +46,12 @@ from tryraytrace_tpu.ops import shade
 from tryraytrace_tpu.ops.aabb import aabb_hit
 from tryraytrace_tpu.ops.intersect import moller_trumbore
 from tryraytrace_tpu.ops.texture import sample_textures
-from tryraytrace_tpu.ops.traverse import MISS_T, ray_octant
+from tryraytrace_tpu.ops.traverse import (
+    FATNODE_DEPTH,
+    MISS_T,
+    fatnode_step,
+    ray_octant,
+)
 
 PI = np.float32(np.pi)
 
@@ -82,7 +87,8 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
         pixel_idx = jnp.arange(n, dtype=jnp.int32)
     frame_seed = jnp.asarray(frame_seed).astype(jnp.uint32)
     k = scene.leaf_size
-    table = scene.node_table
+    fat = cfg.traversal == "fatnode"
+    table = scene.fatnode_table if fat else scene.node_table
     sentinel = table.shape[0]
     col_ps = 6 + 9 * k
     shade_every = max(1, cfg.shade_every)
@@ -115,6 +121,9 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
         n_shadow=jnp.float32(0),
     )
     st["cnt"] = jnp.int32(n)  # live-lane count as of the last shade tick
+    if fat:
+        st["stack"] = jnp.full((n, FATNODE_DEPTH), max(sentinel, 1),
+                               jnp.int32)
     if sentinel == 0:  # empty scene: every ray misses, all samples 0
         out = f3()
         stats = (jnp.float32(n * spp), jnp.float32(0))
@@ -134,11 +143,13 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
 
     step_unroll = max(1, cfg.step_unroll)
 
+    step_fn = _step_fat if fat else _step
+
     def make_body(pidx):
         def body(carry):
             s = unpack(carry)
             for _ in range(step_unroll):
-                s = _step(s, table, sentinel, k, col_ps)
+                s = step_fn(s, table, sentinel, k, col_ps)
 
             def tick(ss):
                 ss = _shade_and_refill(ss, scene, textures, cam,
@@ -268,6 +279,60 @@ def _step(s, table, sentinel, k: int, col_ps: int):
 
     out = dict(s)
     out.update(mode=mode, cur=cur, d_min=d_min, hit_id=hit_id, rad=rad)
+    return out
+
+
+def _step_fat(s, table, sentinel, k: int, col_ps: int):
+    """One fat-node traversal step for TRAVERSE and SHADOW lanes,
+    sharing the single parent-row gather (see ops/traverse.py
+    fatnode_step).  A lane with cur == 0 is starting a fresh walk, so
+    its register stack resets first (roots are never revisited)."""
+    live_t = s["mode"] == TRAVERSE
+    live_s = s["mode"] == SHADOW
+    stepping = live_t | live_s
+
+    stack = jnp.where(((s["cur"] == 0) & stepping)[..., None],
+                      sentinel, s["stack"])
+
+    ls3 = live_s[..., None]
+    ro = jnp.where(ls3, s["so"], s["o"])
+    rd = jnp.where(ls3, s["sd"], s["d"])
+    inv = jnp.where(ls3, 1.0 / rd, vec.safe_inv(rd, jnp))
+    t_min = jnp.where(live_s, jnp.float32(1e-3), jnp.float32(0.0))
+    t_max = jnp.where(live_s, s["smax"], s["d_min"])
+
+    def window(t):
+        return jnp.where(live_s,
+                         (t > 1e-3) & (t < s["smax"] - 1e-3),
+                         t < s["d_min"])
+
+    cur, stack, lt, lid = fatnode_step(
+        table, k, ro, rd, inv, s["cur"], stack, s["d_min"],
+        t_min, t_max, window, stepping)
+
+    take = live_t & (lid >= 0)
+    d_min = jnp.where(take, lt, s["d_min"])
+    hit_id = jnp.where(take, lid, s["hit_id"])
+    occluded = live_s & (lid >= 0)
+
+    cur = jnp.where(stepping, cur, s["cur"])
+    t_done = live_t & (cur >= sentinel)
+    s_done = live_s & (occluded | (cur >= sentinel))
+    lit = s_done & ~occluded
+    rad = s["rad"] + jnp.where(lit[..., None], s["pend"], 0.0)
+
+    mode = s["mode"]
+    mode = jnp.where(t_done, READY, mode)
+    mode = jnp.where(s_done,
+                     jnp.where(s["cont_after_shadow"], TRAVERSE, REFILL),
+                     mode)
+    cur = jnp.where(s_done, 0, cur)
+    d_min = jnp.where(s_done, MISS_T, d_min)
+    hit_id = jnp.where(s_done, -1, hit_id)
+
+    out = dict(s)
+    out.update(mode=mode, cur=cur, d_min=d_min, hit_id=hit_id, rad=rad,
+               stack=stack)
     return out
 
 

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from tryraytrace_tpu.core import vec
-from tryraytrace_tpu.ops.aabb import aabb_hit
+from tryraytrace_tpu.ops.aabb import aabb_hit, aabb_slab
 from tryraytrace_tpu.ops.intersect import moller_trumbore
 
 MISS_T = jnp.float32(1e20)  # renderer.cu:380
@@ -71,6 +71,145 @@ def _leaf_intersect(row, k: int, r_o, r_d, prim_start, prim_count,
         best_t = jnp.where(ok, t, best_t)
         best_id = jnp.where(ok, prim_start + j, best_id)
     return best_t, best_id
+
+
+# --- Fat-node traversal (v3; see accel/bvh.py pack_fatnode_table) ----
+#
+# Both children's boxes live in the parent row, so only known-hit nodes
+# are fetched; descent is front-to-back by actual slab entry distance
+# (dynamic, so t_max pruning bites harder than any static order);
+# pending far children sit in a per-lane register short-stack updated
+# by free elementwise shifts.
+
+FATNODE_DEPTH = 32
+
+
+def _fat_leaf_intersect(row, k: int, r_o, r_d, prim_start, prim_count,
+                        window, base0: int = 2):
+    """Closest (t, prim_id) among the <=K inline triangles at columns
+    base0.. of each gathered fat-node row, inside ``window``."""
+    n = r_o.shape[0]
+    best_t = jnp.full((n,), MISS_T)
+    best_id = jnp.full((n,), -1, jnp.int32)
+    for j in range(k):
+        base = base0 + 9 * j
+        t = moller_trumbore(row[:, base:base + 3], row[:, base + 3:base + 6],
+                            row[:, base + 6:base + 9], r_o, r_d)
+        ok = (j < prim_count) & (t > 0.0) & window(t) & (t < best_t)
+        best_t = jnp.where(ok, t, best_t)
+        best_id = jnp.where(ok, prim_start + j, best_id)
+    return best_t, best_id
+
+
+def fatnode_step(table, k: int, r_o, r_d, inv_d, cur, stack, d_min,
+                 t_min, t_max, window, live):
+    """One fat-node traversal step shared by closest/any-hit walks.
+
+    Returns (cur', stack', leaf_t, leaf_id) where leaf_t/leaf_id are
+    the best leaf intersection found this step (-1 when none).
+    ``t_max`` is the per-lane box window (d_min for closest hit)."""
+    sentinel = table.shape[0]
+    idx = jnp.where(live, jnp.minimum(cur, sentinel - 1), 0)
+    row = table[idx]
+    prim_start = row[:, 0].astype(jnp.int32)
+    prim_count = row[:, 1].astype(jnp.int32)
+    is_leaf = prim_start >= 0
+
+    lt, lid = _fat_leaf_intersect(row, k, r_o, r_d, prim_start, prim_count,
+                                  window)
+    lid = jnp.where(live & is_leaf, lid, -1)
+
+    lo_l, ok_l = aabb_slab(row[:, 2:8], r_o, inv_d, t_min, t_max)
+    lo_r, ok_r = aabb_slab(row[:, 8:14], r_o, inv_d, t_min, t_max)
+    child_l = row[:, 14].astype(jnp.int32)
+    child_r = row[:, 15].astype(jnp.int32)
+    l_near = lo_l <= lo_r
+    near_id = jnp.where(l_near, child_l, child_r)
+    far_id = jnp.where(l_near, child_r, child_l)
+    near_ok = jnp.where(l_near, ok_l, ok_r)
+    far_ok = jnp.where(l_near, ok_r, ok_l)
+
+    internal = live & ~is_leaf
+    both = internal & near_ok & far_ok
+    stack = jnp.where(
+        both[..., None],
+        jnp.concatenate([far_id[..., None], stack[:, :-1]], axis=1),
+        stack)
+    descend = internal & (near_ok | far_ok)
+    child_next = jnp.where(near_ok, near_id, far_id)
+
+    need_pop = live & ~descend
+    popped = stack[:, 0]
+    stack = jnp.where(
+        need_pop[..., None],
+        jnp.concatenate(
+            [stack[:, 1:],
+             jnp.full((stack.shape[0], 1), sentinel, jnp.int32)], axis=1),
+        stack)
+    cur = jnp.where(~live, cur,
+                    jnp.where(descend, child_next, popped))
+    return cur, stack, lt, lid
+
+
+def closest_hit_fatnode(table, k: int, r_o, r_d, active):
+    """Closest-hit via fat-node traversal; same results as
+    closest_hit / closest_hit_packed (order-independent)."""
+    n = r_o.shape[0]
+    sentinel = table.shape[0]
+    if sentinel == 0:
+        return jnp.full((n,), MISS_T), jnp.full((n,), -1, jnp.int32)
+    inv_d = vec.safe_inv(r_d, jnp)
+    cur0 = jnp.where(active, 0, sentinel).astype(jnp.int32)
+    stack0 = jnp.full((n, FATNODE_DEPTH), sentinel, jnp.int32)
+    state = (cur0, stack0, jnp.full((n,), MISS_T),
+             jnp.full((n,), -1, jnp.int32))
+
+    def cond(s):
+        return jnp.any(s[0] < sentinel)
+
+    def body(s):
+        cur, stack, d_min, hit_id = s
+        live = cur < sentinel
+        cur, stack, lt, lid = fatnode_step(
+            table, k, r_o, r_d, inv_d, cur, stack, d_min,
+            jnp.float32(0.0), d_min, lambda t: t < d_min, live)
+        take = lid >= 0
+        d_min = jnp.where(take, lt, d_min)
+        hit_id = jnp.where(take, lid, hit_id)
+        return cur, stack, d_min, hit_id
+
+    _, _, d_min, hit_id = jax.lax.while_loop(cond, body, state)
+    return d_min, hit_id
+
+
+def any_hit_fatnode(table, k: int, r_o, r_d, max_dist, active):
+    """Shadow traversal via fat-node walk (trace_shadow parity:
+    plain 1/d, constant (1e-3, max_dist) window, early exit)."""
+    n = r_o.shape[0]
+    sentinel = table.shape[0]
+    if sentinel == 0:
+        return jnp.zeros((n,), bool)
+    inv_d = (1.0 / r_d).astype(jnp.float32)
+    cur0 = jnp.where(active, 0, sentinel).astype(jnp.int32)
+    stack0 = jnp.full((n, FATNODE_DEPTH), sentinel, jnp.int32)
+    state = (cur0, stack0, jnp.zeros((n,), bool))
+
+    def cond(s):
+        return jnp.any(s[0] < sentinel)
+
+    def body(s):
+        cur, stack, occ = s
+        live = cur < sentinel
+        cur, stack, _, lid = fatnode_step(
+            table, k, r_o, r_d, inv_d, cur, stack,
+            jnp.full((n,), MISS_T), jnp.float32(1e-3), max_dist,
+            lambda t: (t > 1e-3) & (t < max_dist - 1e-3), live)
+        occ = occ | (lid >= 0)
+        cur = jnp.where(occ, sentinel, cur)
+        return cur, stack, occ
+
+    _, _, occ = jax.lax.while_loop(cond, body, state)
+    return occ
 
 
 def closest_hit_packed(table, k: int, r_o, r_d, active):
