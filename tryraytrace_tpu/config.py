@@ -72,18 +72,20 @@ class RenderConfig:
     # every this many traversal steps (amortizes the shading gathers;
     # any value gives identical images).  8 measured best on v5e
     # (BENCH sweep logs).
-    shade_every: int = 8
+    shade_every: int = 4
     # Traversal scheme for the persistent engine: "fatnode" fetches
     # both child boxes at the parent (front-to-back by true entry
     # distance, register short-stack; ~0.5x the row fetches) or
-    # "threaded" (octant miss links, no stack).  Identical results.
-    traversal: str = "fatnode"
+    # "threaded" (octant miss links, no stack).  Identical results;
+    # threaded + unrolling measured faster on v5e (the fat-node
+    # register stack costs more VMEM traffic than the saved rows).
+    traversal: str = "threaded"
     # Traversal steps executed per while-loop iteration in the
     # persistent engine.  Measured on v5e, a loop iteration containing
     # gathers pays a ~0.27 ms fixed cost once regardless of how many
     # gathers it contains, so unrolling dependent steps amortizes it.
     # Results are identical for any value.
-    step_unroll: int = 1
+    step_unroll: int = 4
     # Tail spill: once fewer than ~1/32 of lanes remain live, compact
     # the survivors into a 1/16-width continuation wave (exact lane
     # permutation; identical images).  See docs/PERFORMANCE.md.
