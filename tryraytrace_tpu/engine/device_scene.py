@@ -49,6 +49,10 @@ class DeviceScene:
     trimat: jax.Array          # [T, 24] fused triangle+material rows
     num_lights: int = dataclasses.field(metadata=dict(static=True))
     leaf_size: int = dataclasses.field(metadata=dict(static=True), default=8)
+    # Tree depth (static): sizes the fat-node register stack exactly --
+    # stack traffic scales with depth, so tighter is faster.
+    tree_depth: int = dataclasses.field(metadata=dict(static=True),
+                                        default=32)
 
     @property
     def num_objects(self) -> int:
@@ -105,6 +109,7 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
         trimat=put(pack_trimat_table(ordered)),
         num_lights=n_lights,
         leaf_size=leaf_size,
+        tree_depth=max(1, bvh.max_depth()),
     )
     textures = tuple(put(t) for t in ordered.textures)
     return dev, textures, bvh

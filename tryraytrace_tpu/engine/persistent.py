@@ -122,8 +122,9 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     )
     st["cnt"] = jnp.int32(n)  # live-lane count as of the last shade tick
     if fat:
-        st["stack"] = jnp.full((n, FATNODE_DEPTH), max(sentinel, 1),
-                               jnp.int32)
+        # Pushes outstanding <= internal depth; size the stack exactly.
+        depth = min(FATNODE_DEPTH, max(1, scene.tree_depth - 1))
+        st["stack"] = jnp.full((n, depth), max(sentinel, 1), jnp.int32)
     if sentinel == 0:  # empty scene: every ray misses, all samples 0
         out = f3()
         stats = (jnp.float32(n * spp), jnp.float32(0))
