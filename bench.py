@@ -42,6 +42,7 @@ def main() -> int:
     ap.add_argument("--step-unroll", type=int, default=None)
     ap.add_argument("--leaf-size", type=int, default=None)
     ap.add_argument("--bvh", default=None, help="sah | median")
+    ap.add_argument("--traversal", default=None, help="threaded | fatnode")
     args = ap.parse_args()
 
     import jax
@@ -73,6 +74,8 @@ def main() -> int:
         cfg = cfg.replace(bvh_leaf_size=args.leaf_size)
     if args.bvh:
         cfg = cfg.replace(bvh_method=args.bvh)
+    if args.traversal:
+        cfg = cfg.replace(traversal=args.traversal)
 
     t0 = time.time()
     scene, textures, bvh = upload_scene(arrays, leaf_size=cfg.bvh_leaf_size,
