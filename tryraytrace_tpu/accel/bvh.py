@@ -208,8 +208,15 @@ def _build_python(pb: np.ndarray, cent: np.ndarray,
 
 def _build_sah(pb: np.ndarray, cent: np.ndarray, leaf_size: int,
                n_bins: int = 16, c_trav: float = 1.0,
-               c_isect: float = 1.5) -> LinearBVH:
+               c_isect: float = 0.4) -> LinearBVH:
     """Binned SAH top-down build (Wald 2007 style).
+
+    ``c_isect`` is deliberately low: in the fused-row traversal a leaf's
+    inline Moller-Trumbore tests are free vector math riding the row
+    fetch, so the real cost unit is the NODE VISIT, not the primitive
+    test.  On the teapot scene c_isect 1.5 -> 0.4 cut mean visits per
+    primary ray from 17 to 7.4 at identical images (measured sweep in
+    docs/PERFORMANCE.md).
 
     Two passes: a recursive phase producing a temporary child-linked
     tree (subtree sizes are data-dependent, unlike the median split),
