@@ -78,7 +78,13 @@ def run_config(name: str, frames: int = 2, engine: str | None = None,
     from tryraytrace_tpu.engine.renderer import Renderer
 
     arrays, w, h, spp, check = build_config(name)
-    cfg = RenderConfig(width=w, height=h, spp=spp)
+    # Long single device calls can crash the TPU worker in this
+    # environment (CLAUDE.md); cap each step call at ~2e8 traced rays
+    # (~12 per primary sample) and accumulate progressive passes.
+    spp_chunk = max(1, min(spp, int(2e8 / (w * h * 12))))
+    while spp % spp_chunk:
+        spp_chunk -= 1
+    cfg = RenderConfig(width=w, height=h, spp=spp_chunk)
     if engine:
         cfg = cfg.replace(engine=engine)
     r = Renderer(arrays, cfg=cfg)
@@ -98,8 +104,8 @@ def run_config(name: str, frames: int = 2, engine: str | None = None,
     tr, sh = jax.jit(
         frame_ray_stats, static_argnames=("width", "height", "cfg", "spp"),
     )(r.scene, r.textures, params, jnp.uint32(1), width=w, height=h,
-      cfg=cfg, spp=spp)
-    rays = float(tr) + float(sh)
+      cfg=cfg, spp=spp_chunk)
+    rays = (float(tr) + float(sh)) * (spp // spp_chunk)
 
     t0 = time.time()
     for f in range(frames):
@@ -109,8 +115,9 @@ def run_config(name: str, frames: int = 2, engine: str | None = None,
             cam.process_mouse(30.0, 0.0)
             r.reset()
             params = cam.get_params(w, h)
-        r.step(params)
-    r.block_until_ready()
+        for _ in range(spp // spp_chunk):
+            r.step(params)
+        r.block_until_ready()
     dt = (time.time() - t0) / frames
 
     result = dict(
