@@ -431,10 +431,17 @@ def _shade_ready(s, scene, textures, pixel_idx, cfg: RenderConfig):
         u4 = rng.uniform(seed, pixel_idx, base + rng.SLOT_LIGHT_PICK, jnp)
         u5 = rng.uniform(seed, pixel_idx, base + rng.SLOT_LIGHT_R1, jnp)
         u6 = rng.uniform(seed, pixel_idx, base + rng.SLOT_LIGHT_R2, jnp)
-        pick = jnp.clip((u4 * (lcount - 0.001)).astype(jnp.int32), 0,
-                        lcount - 1)
-        li = scene.light_indices[pick]
-        lrow = scene.trimat[li]
+        if lcount == 1:
+            # Single light (the reference scene's case): the picked row
+            # is a constant -- broadcast it instead of gathering per
+            # lane (u4 is still drawn for stream parity; pick==0).
+            lrow = jnp.broadcast_to(scene.trimat[scene.light_indices[0]],
+                                    (u4.shape[0], scene.trimat.shape[1]))
+        else:
+            pick = jnp.clip((u4 * (lcount - 0.001)).astype(jnp.int32), 0,
+                            lcount - 1)
+            li = scene.light_indices[pick]
+            lrow = scene.trimat[li]
         lv0, lv1, lv2 = lrow[:, 0:3], lrow[:, 3:6], lrow[:, 6:9]
         light_pos = shade.sample_triangle(lv0, lv1, lv2, u5, u6)
         to_light = light_pos - x_hit
