@@ -148,7 +148,8 @@ def cmd_interactive(args) -> int:
         with open(args.script) as f:
             script = ScriptedInput(json.load(f))
     app = App(arrays, cfg, input_source=script, window=window,
-              out_dir=args.out_dir)
+              out_dir=args.out_dir,
+              checkpoint_every=args.checkpoint_every)
     app.run(max_frames=args.frames)
     print(f"[tpurt] displayed {app.frames_displayed} frames; "
           f"snapshots: {app.snapshots}")
@@ -209,6 +210,8 @@ def main(argv=None) -> int:
     p.add_argument("--script", default=None,
                    help="JSON input script (see display/input.py)")
     p.add_argument("--out-dir", default=".")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="autosave render state every N frames (0 = off)")
     p.set_defaults(fn=cmd_interactive)
 
     p = sub.add_parser("bench", help="performance benchmark (JSON line)")
