@@ -43,6 +43,7 @@ def main() -> int:
     ap.add_argument("--leaf-size", type=int, default=None)
     ap.add_argument("--bvh", default=None, help="sah | median")
     ap.add_argument("--traversal", default=None, help="threaded | fatnode")
+    ap.add_argument("--max-wave", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -76,6 +77,8 @@ def main() -> int:
         cfg = cfg.replace(bvh_method=args.bvh)
     if args.traversal:
         cfg = cfg.replace(traversal=args.traversal)
+    if args.max_wave is not None:
+        cfg = cfg.replace(max_wave_lanes=args.max_wave)
 
     t0 = time.time()
     scene, textures, bvh = upload_scene(arrays, leaf_size=cfg.bvh_leaf_size,
