@@ -82,7 +82,8 @@ def main() -> int:
 
     t0 = time.time()
     scene, textures, bvh = upload_scene(arrays, leaf_size=cfg.bvh_leaf_size,
-                                        method=cfg.bvh_method)
+                                        method=cfg.bvh_method,
+                                        traversal=cfg.traversal)
     log(f"[bench] scene: {arrays.num_objects} tris, BVH {bvh.num_nodes} "
         f"nodes ({cfg.bvh_method}), build+upload {time.time() - t0:.2f}s")
 

@@ -34,7 +34,9 @@ class CameraParams:
 
     @staticmethod
     def make(pos, cx, cy, direction, lens_radius, focus_dist) -> "CameraParams":
-        f32 = lambda v: np.asarray(v, dtype=np.float32)
+        # copy=True: the controller mutates its pos array in place for
+        # q/e elevation, and packed params must stay immutable.
+        f32 = lambda v: np.array(v, dtype=np.float32, copy=True)
         return CameraParams(f32(pos), f32(cx), f32(cy), f32(direction),
                             f32(lens_radius), f32(focus_dist))
 

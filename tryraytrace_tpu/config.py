@@ -70,8 +70,8 @@ class RenderConfig:
     engine: str = "persistent"
     # Shading cadence for the persistent engine: shade READY lanes
     # every this many traversal steps (amortizes the shading gathers;
-    # any value gives identical images).  8 measured best on v5e
-    # (BENCH sweep logs).
+    # any value gives identical images).  With the retuned SAH,
+    # (unroll 4, cadence 4) and (4, 2) measured best on v5e.
     shade_every: int = 4
     # Traversal scheme for the persistent engine: "fatnode" fetches
     # both child boxes at the parent (front-to-back by true entry

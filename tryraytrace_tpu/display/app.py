@@ -98,9 +98,11 @@ class App:
 
         # Snapshot + drop-frame dispatch (main.cpp:183-198).  The
         # device->host read is the sync point, standing in for
-        # cudaDeviceSynchronize at main.cpp:192.
-        accum = r.accum_host()
-        self.pipeline.try_dispatch(accum, max(r.spp(), 1))
+        # cudaDeviceSynchronize at main.cpp:192 -- skipped entirely when
+        # the worker is busy, since the frame would be dropped anyway.
+        if not self.pipeline.busy():
+            accum = r.accum_host()
+            self.pipeline.try_dispatch(accum, max(r.spp(), 1))
 
         if (self.checkpoint_every and
                 r.frame % self.checkpoint_every == 0):

@@ -46,6 +46,7 @@ class DisplayPipeline:
         self.width = width
         self.height = height
         self.pixel_buffer = np.zeros(width * height, np.uint32)
+        self._back_buffer = np.zeros(width * height, np.uint32)
         self._mtx = threading.Condition()
         self._task = None          # (accum snapshot, frame) or None
         self._worker_busy = False
@@ -66,6 +67,13 @@ class DisplayPipeline:
             self._worker_busy = True
             self._mtx.notify()
             return True
+
+    def busy(self) -> bool:
+        """True while the worker is processing a frame -- callers can
+        skip the (expensive) device snapshot for frames that would be
+        dropped anyway."""
+        with self._mtx:
+            return self._worker_busy
 
     def check_frame_ready(self) -> bool:
         """True exactly once per completed frame (pipeline.cpp:141-151)."""
@@ -92,8 +100,12 @@ class DisplayPipeline:
                 accum, frame = self._task
                 self._task = None
             # Out of the lock: the compute phase (pipeline.cpp:40-71).
-            pixels = tonemap_to_argb(accum, frame)
-            self.pixel_buffer[:] = pixels
+            # Tonemap into the back buffer, then publish under the lock
+            # so readers never observe a torn frame (an improvement over
+            # the reference, which overwrites its display buffer live).
+            self._back_buffer[:] = tonemap_to_argb(accum, frame)
             with self._mtx:
+                self.pixel_buffer, self._back_buffer = (
+                    self._back_buffer, self.pixel_buffer)
                 self._frame_ready = True
                 self._worker_busy = False

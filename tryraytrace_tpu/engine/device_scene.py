@@ -65,7 +65,8 @@ class DeviceScene:
 
 def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
                  device_put=True, leaf_size: int = 8,
-                 method: str = "sah") -> tuple[DeviceScene, tuple, LinearBVH]:
+                 method: str = "sah", traversal: str = "threaded"
+                 ) -> tuple[DeviceScene, tuple, LinearBVH]:
     """Build the BVH (reordering primitives, main.cpp:82-86 contract),
     then assemble the device pytree.
 
@@ -103,9 +104,14 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
         node_table=put(pack_traversal_table(
             bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
             leaf_size=leaf_size)),
+        # The fat-node table is only packed when that traversal is
+        # selected: it is unused otherwise, and its 32-deep register
+        # stack bound rejects pathologically deep SAH trees that the
+        # threaded walk handles fine.
         fatnode_table=put(pack_fatnode_table(
             bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
-            leaf_size=leaf_size)),
+            leaf_size=leaf_size) if traversal == "fatnode" else
+            np.zeros((0, 16), np.float32)),
         trimat=put(pack_trimat_table(ordered)),
         num_lights=n_lights,
         leaf_size=leaf_size,

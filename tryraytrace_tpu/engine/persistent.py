@@ -44,11 +44,12 @@ from tryraytrace_tpu.engine.camera_rays import generate_rays
 from tryraytrace_tpu.engine.wavefront import _sanitize
 from tryraytrace_tpu.ops import shade
 from tryraytrace_tpu.ops.aabb import aabb_hit
-from tryraytrace_tpu.ops.intersect import moller_trumbore
 from tryraytrace_tpu.ops.texture import sample_textures
 from tryraytrace_tpu.ops.traverse import (
     FATNODE_DEPTH,
     MISS_T,
+    _decode_links,
+    _leaf_intersect,
     fatnode_step,
     ray_octant,
 )
@@ -230,35 +231,25 @@ def _step(s, table, sentinel, k: int, col_ps: int):
     prim_count = row[:, col_ps + 1].astype(jnp.int32)
     is_leaf = prim_start >= 0
 
-    # Inline leaf triangles: closest-hit keeps the nearest inside
-    # (0, d_min); the shadow walk tests the (1e-3, smax - 1e-3) window.
-    best_t = jnp.full(ro.shape[0], MISS_T)
-    best_id = jnp.full(ro.shape[0], -1, jnp.int32)
-    occ_now = jnp.zeros(ro.shape[0], bool)
-    for j in range(k):
-        base = 6 + 9 * j
-        t = moller_trumbore(row[:, base:base + 3], row[:, base + 3:base + 6],
-                            row[:, base + 6:base + 9], ro, rd)
-        in_leaf = (j < prim_count) & (t > 0.0)
-        take = in_leaf & live_t & (t < s["d_min"]) & (t < best_t)
-        best_t = jnp.where(take, t, best_t)
-        best_id = jnp.where(take, prim_start + j, best_id)
-        occ_now = occ_now | (in_leaf & live_s & (t > 1e-3)
-                             & (t < s["smax"] - 1e-3))
+    # Inline leaf triangles via the shared scan: closest-hit lanes use
+    # the (0, d_min) window, shadow lanes the (1e-3, smax-1e-3) window.
+    def window(t):
+        return jnp.where(live_s,
+                         (t > 1e-3) & (t < s["smax"] - 1e-3),
+                         t < s["d_min"])
+
+    best_t, best_id = _leaf_intersect(
+        row, k, ro, rd, prim_start, prim_count, window)
 
     leaf_hit = hit & is_leaf
-    d_min = jnp.where(leaf_hit & (best_id >= 0), best_t, s["d_min"])
-    hit_id = jnp.where(leaf_hit & (best_id >= 0), best_id, s["hit_id"])
-    occluded = leaf_hit & occ_now
+    found = leaf_hit & (best_id >= 0)
+    d_min = jnp.where(found & live_t, best_t, s["d_min"])
+    hit_id = jnp.where(found & live_t, best_id, s["hit_id"])
+    occluded = found & live_s
 
     octant = ray_octant(rd)
-    nh = jnp.zeros(ro.shape[0], jnp.float32)
-    nm = jnp.zeros(ro.shape[0], jnp.float32)
-    for o in range(8):
-        sel = (octant == o).astype(jnp.float32)
-        nh = nh + sel * row[:, col_ps + 2 + o]
-        nm = nm + sel * row[:, col_ps + 10 + o]
-    nxt = jnp.where(hit & ~is_leaf, nh, nm).astype(jnp.int32)
+    nh, nm = _decode_links(row, octant, k)
+    nxt = jnp.where(hit & ~is_leaf, nh, nm)
     cur = jnp.where(stepping, nxt, s["cur"])
 
     # Transitions.
@@ -308,7 +299,7 @@ def _step_fat(s, table, sentinel, k: int, col_ps: int):
                          t < s["d_min"])
 
     cur, stack, lt, lid = fatnode_step(
-        table, k, ro, rd, inv, s["cur"], stack, s["d_min"],
+        table, k, ro, rd, inv, s["cur"], stack,
         t_min, t_max, window, stepping)
 
     take = live_t & (lid >= 0)

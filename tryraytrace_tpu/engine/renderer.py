@@ -59,12 +59,14 @@ class Renderer:
             arrays = scene
         else:
             raise TypeError(f"unsupported scene type {type(scene)}")
+        if (width is None) != (height is None):
+            raise ValueError("width and height must be given together")
         self.cfg = cfg if width is None else cfg.with_size(width, height)
         self.width = self.cfg.width
         self.height = self.cfg.height
         self.scene, self.textures, self.bvh = upload_scene(
             arrays, leaf_size=self.cfg.bvh_leaf_size,
-            method=self.cfg.bvh_method)
+            method=self.cfg.bvh_method, traversal=self.cfg.traversal)
         self.state = RenderState.zeros(self.width * self.height)
         self.frame = 1  # gpu_frame counter parity (main.cpp:149)
 

@@ -303,10 +303,14 @@ def render_frame(scene, textures, cam, frame_seed, width: int, height: int,
         from tryraytrace_tpu.engine.persistent import render_frame_persistent
 
         mw = cfg.max_wave_lanes
-        if (mw and pixel_idx is None and n > mw and n % _cdiv(n, mw) == 0):
+        if mw and pixel_idx is None and n > mw:
+            # Pad the pixel space so every chunk has the same static
+            # width (duplicate pixel-0 lanes in the tail chunk write
+            # past n and are sliced off -- exact for the real pixels).
             chunks = _cdiv(n, mw)
-            chunk = n // chunks
-            all_pix = jnp.arange(n, dtype=jnp.int32)
+            chunk = _cdiv(n, chunks)
+            padded = chunks * chunk
+            all_pix = jnp.minimum(jnp.arange(padded, dtype=jnp.int32), n - 1)
 
             def body(c, carry):
                 acc, tr_all, sh_all = carry
@@ -321,7 +325,8 @@ def render_frame(scene, textures, cam, frame_seed, width: int, height: int,
             zero = jnp.float32(0)
             acc, tr, sh = jax.lax.fori_loop(
                 0, chunks, body,
-                (jnp.zeros((n, 3), jnp.float32), zero, zero))
+                (jnp.zeros((padded, 3), jnp.float32), zero, zero))
+            acc = acc[:n]
             return (acc, (tr, sh)) if with_stats else acc
 
         return render_frame_persistent(scene, textures, cam, frame_seed,

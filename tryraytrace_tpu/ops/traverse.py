@@ -101,7 +101,7 @@ def _fat_leaf_intersect(row, k: int, r_o, r_d, prim_start, prim_count,
     return best_t, best_id
 
 
-def fatnode_step(table, k: int, r_o, r_d, inv_d, cur, stack, d_min,
+def fatnode_step(table, k: int, r_o, r_d, inv_d, cur, stack,
                  t_min, t_max, window, live):
     """One fat-node traversal step shared by closest/any-hit walks.
 
@@ -171,7 +171,7 @@ def closest_hit_fatnode(table, k: int, r_o, r_d, active):
         cur, stack, d_min, hit_id = s
         live = cur < sentinel
         cur, stack, lt, lid = fatnode_step(
-            table, k, r_o, r_d, inv_d, cur, stack, d_min,
+            table, k, r_o, r_d, inv_d, cur, stack,
             jnp.float32(0.0), d_min, lambda t: t < d_min, live)
         take = lid >= 0
         d_min = jnp.where(take, lt, d_min)
@@ -202,7 +202,7 @@ def any_hit_fatnode(table, k: int, r_o, r_d, max_dist, active):
         live = cur < sentinel
         cur, stack, _, lid = fatnode_step(
             table, k, r_o, r_d, inv_d, cur, stack,
-            jnp.full((n,), MISS_T), jnp.float32(1e-3), max_dist,
+            jnp.float32(1e-3), max_dist,
             lambda t: (t > 1e-3) & (t < max_dist - 1e-3), live)
         occ = occ | (lid >= 0)
         cur = jnp.where(occ, sentinel, cur)

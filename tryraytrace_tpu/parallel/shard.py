@@ -99,7 +99,8 @@ class ShardedRenderer:
         self.width, self.height = cfg.width, cfg.height
         scene, textures, bvh = upload_scene(arrays, device_put=False,
                                             leaf_size=cfg.bvh_leaf_size,
-                                            method=cfg.bvh_method)
+                                            method=cfg.bvh_method,
+                                            traversal=cfg.traversal)
         repl = NamedSharding(self.mesh, P())
         self.scene = jax.device_put(scene, repl)
         self.textures = tuple(jax.device_put(t, repl) for t in textures)
