@@ -30,6 +30,10 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max-depth", type=int, default=30)
     p.add_argument("--aperture", type=float, default=0.0)
     p.add_argument("--focus", type=float, default=240.0)
+    p.add_argument("--engine", default=None,
+                   help="persistent | bounce (default: config)")
+    p.add_argument("--traversal", default=None,
+                   help="threaded | fatnode (default: config)")
 
 
 def build_scene_arrays(args):
@@ -83,8 +87,7 @@ def cmd_render(args) -> int:
     from tryraytrace_tpu.utils.profiling import PhaseTimer
 
     timer = PhaseTimer()
-    cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
-                       max_depth=args.max_depth)
+    cfg = _cfg_from_args(args)
     with timer.phase("build+upload"):
         arrays = build_scene_arrays(args)
         r = Renderer(arrays, cfg=cfg)
@@ -129,12 +132,21 @@ def cmd_render(args) -> int:
     return 0
 
 
+def _cfg_from_args(args) -> RenderConfig:
+    cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
+                       max_depth=args.max_depth)
+    if getattr(args, "engine", None):
+        cfg = cfg.replace(engine=args.engine)
+    if getattr(args, "traversal", None):
+        cfg = cfg.replace(traversal=args.traversal)
+    return cfg
+
+
 def cmd_interactive(args) -> int:
     from tryraytrace_tpu.display.app import App
     from tryraytrace_tpu.display.input import ScriptedInput
 
-    cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
-                       max_depth=args.max_depth)
+    cfg = _cfg_from_args(args)
     arrays = build_scene_arrays(args)
     window = not args.headless
     if window:
