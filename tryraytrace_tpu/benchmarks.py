@@ -8,6 +8,8 @@ oracle -- the acceptance metric.
 
 from __future__ import annotations
 
+import sys
+
 import time
 
 from tryraytrace_tpu.config import RenderConfig
@@ -28,7 +30,7 @@ def _cornell_with(meshes: list[tuple[str, float, tuple]],
             load_obj(path, scene.objects, offset=offset, scale=scale,
                      albedo=(0.75, 0.75, 0.75), metallic=0.0, roughness=1.0)
         else:
-            print(f"[bench] asset {name} missing; substituting cube")
+            print(f"[bench] asset {name} missing; substituting cube", file=sys.stderr)
             v0, v1, v2 = cube_mesh(scale)
             for a, b, c in zip(v0 + offset, v1 + offset, v2 + offset):
                 scene.objects.append(Object(v0=tuple(a), v1=tuple(b),

@@ -13,6 +13,8 @@ each frame (the analogue of the by-value kernel argument).
 
 from __future__ import annotations
 
+import sys
+
 import dataclasses
 
 import numpy as np
@@ -114,19 +116,19 @@ class CameraController:
         if "r" in keys:
             self.focus_dist += 1.0
             moved = True
-            print(f"[Cam] Focus: {self.focus_dist:.1f}")
+            print(f"[Cam] Focus: {self.focus_dist:.1f}", file=sys.stderr)
         if "f" in keys:
             self.focus_dist = max(self.focus_dist - 1.0, 1.0)
             moved = True
-            print(f"[Cam] Focus: {self.focus_dist:.1f}")
+            print(f"[Cam] Focus: {self.focus_dist:.1f}", file=sys.stderr)
         if "t" in keys:
             self.aperture += 0.1
             moved = True
-            print(f"[Cam] Aperture: {self.aperture:.1f}")
+            print(f"[Cam] Aperture: {self.aperture:.1f}", file=sys.stderr)
         if "g" in keys:
             self.aperture = max(self.aperture - 0.1, 0.0)
             moved = True
-            print(f"[Cam] Aperture: {self.aperture:.1f}")
+            print(f"[Cam] Aperture: {self.aperture:.1f}", file=sys.stderr)
         return moved
 
     def get_aperture(self) -> float:

@@ -9,6 +9,8 @@ the ICI-friendly layout for this workload.
 
 from __future__ import annotations
 
+import sys
+
 import dataclasses
 
 import jax
@@ -82,7 +84,7 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
     n_lights = ordered.num_lights
     light_idx = ordered.light_indices
     if n_lights == 0:
-        print("[Renderer Warning] No lights found in scene!")  # renderer.cu:182
+        print("[Renderer Warning] No lights found in scene!", file=sys.stderr)  # renderer.cu:182
         light_idx = np.zeros(1, dtype=np.int32)
 
     put = jax.device_put if device_put else (lambda x: x)

@@ -8,6 +8,8 @@ filename, average the accumulator by the frame count, gamma-quantize
 
 from __future__ import annotations
 
+import sys
+
 import os
 import time
 
@@ -43,5 +45,5 @@ def save_snapshot(h_accum: np.ndarray, w: int, h: int, frame: int,
     path = os.path.join(out_dir, rel)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     save_ppm(path, img)
-    print(f"[IO] Snapshot saved: {path}")
+    print(f"[IO] Snapshot saved: {path}", file=sys.stderr)
     return path

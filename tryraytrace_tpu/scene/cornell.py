@@ -10,6 +10,8 @@ stand-in via ``flatten_scene(textures=...)``).
 
 from __future__ import annotations
 
+import sys
+
 from tryraytrace_tpu.scene.assets import find_asset
 from tryraytrace_tpu.scene.model import Object, Scene
 from tryraytrace_tpu.scene.objloader import load_obj
@@ -55,17 +57,17 @@ def create_cornell_box(mesh: str | None = "teapot.obj") -> Scene:
     if mesh is not None:
         path = find_asset(mesh)
         if path is None:
-            print(f"[Loader Error] Cannot open file: {mesh}")
+            print(f"[Loader Error] Cannot open file: {mesh}", file=sys.stderr)
         else:
             # scene.cpp:96-101: offset (50,10,50), scale 10, white,
             # metallic=1.0, roughness=0.1.
             load_obj(path, scene.objects, offset=(50.0, 10.0, 50.0),
                      scale=10.0, albedo=WHITE, metallic=1.0, roughness=0.1)
 
-    print(f"[Scene] Scene created with {len(scene.objects)} objects.")
+    print(f"[Scene] Scene created with {len(scene.objects)} objects.", file=sys.stderr)
     lo, hi = scene.world_bound()
     print(
         "[Scene] World Bound: Min(%.1f, %.1f, %.1f) Max(%.1f, %.1f, %.1f)"
         % (lo[0], lo[1], lo[2], hi[0], hi[1], hi[2])
-    )
+    , file=sys.stderr)
     return scene

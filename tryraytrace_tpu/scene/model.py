@@ -15,6 +15,8 @@ any channel).
 
 from __future__ import annotations
 
+import sys
+
 import dataclasses
 from typing import Sequence
 
@@ -169,6 +171,6 @@ def _load_textures(files: Sequence[str]) -> list[np.ndarray]:
             img = load_ppm(path)
             out.append((img.astype(np.float32) / 255.0))
         except (OSError, ValueError) as e:
-            print(f"[Texture Error] {e}; using 1x1 white stand-in")
+            print(f"[Texture Error] {e}; using 1x1 white stand-in", file=sys.stderr)
             out.append(np.ones((1, 1, 3), dtype=np.float32))
     return out

@@ -18,6 +18,8 @@ falls back to pure Python when the extension is unavailable.
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 
 from tryraytrace_tpu.scene.model import Object
@@ -116,7 +118,7 @@ def load_obj(
     try:
         verts, faces = parse_obj_arrays(path)
     except OSError:
-        print(f"[Loader Error] Cannot open file: {path}")
+        print(f"[Loader Error] Cannot open file: {path}", file=sys.stderr)
         return 0
     verts = verts * np.float32(scale) + np.asarray(offset, dtype=np.float32)
     for a, b, c in faces:
@@ -131,7 +133,7 @@ def load_obj(
                 tex_id=-1,
             )
         )
-    print(f"[Loader] Loaded: {path} ({verts.shape[0]} vertices, {faces.shape[0]} faces)")
+    print(f"[Loader] Loaded: {path} ({verts.shape[0]} vertices, {faces.shape[0]} faces)", file=sys.stderr)
     return int(faces.shape[0])
 
 
