@@ -199,14 +199,14 @@ def test_pipeline_dispatch_reset_hammer():
     for t in threads:
         t.start()
     consumed = 0
-    deadline = time.time() + 10
+    deadline = time.time() + 60  # generous: CI hosts can be saturated
     while any(t.is_alive() for t in threads) and time.time() < deadline:
         if p.check_frame_ready():
             consumed += 1
             buf = p.pixel_buffer.copy()
             assert set(np.unique(buf).tolist()) <= valid
     for t in threads:
-        t.join(timeout=5)
+        t.join(timeout=30)
         assert not t.is_alive()
     stop.set()
     p.destroy()
