@@ -86,6 +86,13 @@ class RenderConfig:
     # gathers it contains, so unrolling dependent steps amortizes it.
     # Results are identical for any value.
     step_unroll: int = 4
+    # Readiness-triggered shading: additionally fire the shade tick as
+    # soon as this fraction of lanes is waiting in READY/REFILL (0 =
+    # cadence only).  Identical images for any value.  Measured on v5e
+    # at 0.25 it fires too eagerly (extra shading gathers outweigh the
+    # saved idle steps: headline 10.71 vs 10.85 Mrays/s), so cadence-
+    # only is the default; the real fix is dual-walk lanes (ROADMAP).
+    shade_ready_frac: float = 0.0
     # Tail spill: once fewer than ~1/32 of lanes remain live, compact
     # the survivors into a 1/16-width continuation wave (exact lane
     # permutation; identical images).  See docs/PERFORMANCE.md.

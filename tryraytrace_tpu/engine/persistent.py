@@ -164,6 +164,16 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
                 s = tick(s)
             else:
                 do_shade = (s["it"] % shade_every) == (shade_every - 1)
+                if cfg.shade_ready_frac > 0:
+                    # Fire early when enough lanes idle in READY/REFILL
+                    # (waiting costs a useless full-width gather per
+                    # step); scheduling only -- images are identical.
+                    waiting = ((s["mode"] == READY)
+                               | (s["mode"] == REFILL)).sum()
+                    n_lanes = s["mode"].shape[0]
+                    do_shade = do_shade | (
+                        waiting >= max(1, int(n_lanes
+                                              * cfg.shade_ready_frac)))
                 s = jax.lax.cond(do_shade, tick, lambda ss: ss, s)
             s["it"] = s["it"] + 1
             return pack(s)
