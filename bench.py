@@ -44,6 +44,7 @@ def main() -> int:
     ap.add_argument("--bvh", default=None, help="sah | median")
     ap.add_argument("--traversal", default=None, help="threaded | fatnode")
     ap.add_argument("--max-wave", type=int, default=None)
+    ap.add_argument("--dual-walk", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -79,6 +80,8 @@ def main() -> int:
         cfg = cfg.replace(traversal=args.traversal)
     if args.max_wave is not None:
         cfg = cfg.replace(max_wave_lanes=args.max_wave)
+    if args.dual_walk:
+        cfg = cfg.replace(dual_walk=True)
 
     t0 = time.time()
     scene, textures, bvh = upload_scene(arrays, leaf_size=cfg.bvh_leaf_size,

@@ -92,3 +92,43 @@ def test_chunked_wave_bit_identical(arrays):
         r.step(p, spp=2)
         outs.append(r.accum_host())
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_dual_walk_identical(arrays):
+    cam = CameraController()
+    cam.aperture = 0.5
+    p = cam.get_params(40, 24)
+    outs = []
+    for dw in (False, True):
+        cfg = RenderConfig(width=40, height=24, spp=4, dual_walk=dw)
+        r = Renderer(arrays, cfg=cfg)
+        r.step(p, spp=4)
+        outs.append(r.accum_host())
+    np.testing.assert_allclose(outs[0], outs[1], **_ULP)
+
+
+def test_dual_walk_odd_spp_falls_back(arrays):
+    cfg = RenderConfig(width=16, height=12, spp=3, dual_walk=True)
+    r = Renderer(arrays, cfg=cfg)
+    cam = CameraController()
+    r.step(cam.get_params(16, 12), spp=3)
+    ref = Renderer(arrays, cfg=cfg.replace(dual_walk=False))
+    ref.step(cam.get_params(16, 12), spp=3)
+    np.testing.assert_array_equal(r.accum_host(), ref.accum_host())
+
+
+def test_dual_walk_stats_match(arrays):
+    import jax
+    from tryraytrace_tpu.engine.wavefront import frame_ray_stats
+
+    cam = CameraController().get_params(32, 16)
+    counts = {}
+    for dw in (False, True):
+        cfg = RenderConfig(width=32, height=16, spp=2, dual_walk=dw)
+        r = Renderer(arrays, cfg=cfg)
+        tr, sh = jax.jit(
+            frame_ray_stats,
+            static_argnames=("width", "height", "cfg", "spp"),
+        )(r.scene, r.textures, cam, 1, width=32, height=16, cfg=cfg, spp=2)
+        counts[dw] = (float(tr), float(sh))
+    assert counts[False] == counts[True]

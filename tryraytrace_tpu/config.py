@@ -86,6 +86,13 @@ class RenderConfig:
     # gathers it contains, so unrolling dependent steps amortizes it.
     # Results are identical for any value.
     step_unroll: int = 4
+    # Dual-walk lanes: each lane carries TWO independent sample
+    # contexts and steps whichever one is mid-traversal, so the idle
+    # steps a context spends waiting for its shade tick do the other
+    # context's traversal instead.  Identical images (sample sets are
+    # interleaved even/odd).  Requires even spp >= 2 and the threaded
+    # traversal; falls back to single-walk otherwise.
+    dual_walk: bool = False
     # Readiness-triggered shading: additionally fire the shade tick as
     # soon as this fraction of lanes is waiting in READY/REFILL (0 =
     # cadence only).  Identical images for any value.  Measured on v5e

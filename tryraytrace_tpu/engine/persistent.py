@@ -94,34 +94,49 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     col_ps = 6 + 9 * k
     shade_every = max(1, cfg.shade_every)
 
-    sample0 = jnp.zeros((n,), jnp.int32)
-    seed0 = _lane_seed(frame_seed, seed_spp,
-                       sample0 + jnp.int32(sample_offset))
-    r_o, r_d = generate_rays(cam, width, height, seed0, pixel_idx)
+    dual = (cfg.dual_walk and not fat and spp >= 2 and spp % 2 == 0)
+    sample_stride = 2 if dual else 1
 
     f3 = lambda: jnp.zeros((n, 3), jnp.float32)
-    st = dict(
-        mode=jnp.full((n,), TRAVERSE, jnp.int32),
-        cur=jnp.zeros((n,), jnp.int32),
-        d_min=jnp.full((n,), MISS_T),
-        hit_id=jnp.full((n,), -1, jnp.int32),
-        o=r_o, d=r_d,
-        tp=jnp.ones((n, 3), jnp.float32),
-        rad=f3(),                     # current sample's radiance
+
+    def init_ctx(first_sample: int) -> dict:
+        sample0 = jnp.full((n,), first_sample, jnp.int32)
+        seed0 = _lane_seed(frame_seed, seed_spp,
+                           sample0 + jnp.int32(sample_offset))
+        r_o, r_d = generate_rays(cam, width, height, seed0, pixel_idx)
+        return dict(
+            mode=jnp.full((n,), TRAVERSE, jnp.int32),
+            cur=jnp.zeros((n,), jnp.int32),
+            d_min=jnp.full((n,), MISS_T),
+            hit_id=jnp.full((n,), -1, jnp.int32),
+            o=r_o, d=r_d,
+            tp=jnp.ones((n, 3), jnp.float32),
+            rad=f3(),                 # current sample's radiance
+            sample=sample0,
+            seed=seed0,
+            depth=jnp.zeros((n,), jnp.int32),
+            prev_spec=jnp.ones((n,), bool),
+            so=f3(), sd=f3(),
+            smax=jnp.zeros((n,), jnp.float32),
+            pend=f3(),
+            cont_after_shadow=jnp.zeros((n,), bool),
+        )
+
+    ctx_keys = tuple(sorted(init_ctx(0).keys())) if dual else ()
+    st = init_ctx(0)
+    st.update(
         out=f3(),                     # accumulated sanitized samples
-        sample=sample0,
-        seed=seed0,
-        depth=jnp.zeros((n,), jnp.int32),
-        prev_spec=jnp.ones((n,), bool),
-        so=f3(), sd=f3(),
-        smax=jnp.zeros((n,), jnp.float32),
-        pend=f3(),
-        cont_after_shadow=jnp.zeros((n,), bool),
         it=jnp.int32(0),
-        n_traced=jnp.float32(n),      # sample-0 camera rays
+        n_traced=jnp.float32(n * (2 if dual else 1)),  # camera rays
         n_shadow=jnp.float32(0),
+        cnt=jnp.int32(n),             # live lanes as of the last count
     )
-    st["cnt"] = jnp.int32(n)  # live-lane count as of the last shade tick
+    if dual:
+        # Context A (samples 0,2,4,...) rides the plain keys; context B
+        # (samples 1,3,5,...) is parked under b.* and swapped in by the
+        # per-lane mux each iteration.
+        for kk, vv in init_ctx(1).items():
+            st[f"b.{kk}"] = vv
     if fat:
         # Pushes outstanding <= internal depth; size the stack exactly.
         depth = min(FATNODE_DEPTH, max(1, scene.tree_depth - 1))
@@ -147,34 +162,70 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
 
     step_fn = _step_fat if fat else _step
 
+    def lane_done(s):
+        done = s["mode"] == DONE
+        if dual:
+            done = done & (s["b.mode"] == DONE)
+        return done
+
     def make_body(pidx):
-        def body(carry):
-            s = unpack(carry)
+        def run_single(s):
             for _ in range(step_unroll):
                 s = step_fn(s, table, sentinel, k, col_ps)
 
             def tick(ss):
                 ss = _shade_and_refill(ss, scene, textures, cam,
                                        frame_seed, pidx, width, height,
-                                       cfg, spp, sample_offset, seed_spp)
+                                       cfg, spp, sample_offset, seed_spp,
+                                       sample_stride)
                 ss["cnt"] = (ss["mode"] != DONE).sum().astype(jnp.int32)
                 return ss
 
             if shade_every == 1:
-                s = tick(s)
+                return tick(s)
+            do_shade = (s["it"] % shade_every) == (shade_every - 1)
+            if cfg.shade_ready_frac > 0:
+                # Fire early when enough lanes idle in READY/REFILL
+                # (waiting costs a useless full-width gather per
+                # step); scheduling only -- images are identical.
+                waiting = ((s["mode"] == READY)
+                           | (s["mode"] == REFILL)).sum()
+                n_lanes = s["mode"].shape[0]
+                do_shade = do_shade | (
+                    waiting >= max(1, int(n_lanes
+                                          * cfg.shade_ready_frac)))
+            return jax.lax.cond(do_shade, tick, lambda ss: ss, s)
+
+        def body(carry):
+            s = unpack(carry)
+            if not dual:
+                s = run_single(s)
             else:
-                do_shade = (s["it"] % shade_every) == (shade_every - 1)
-                if cfg.shade_ready_frac > 0:
-                    # Fire early when enough lanes idle in READY/REFILL
-                    # (waiting costs a useless full-width gather per
-                    # step); scheduling only -- images are identical.
-                    waiting = ((s["mode"] == READY)
-                               | (s["mode"] == REFILL)).sum()
-                    n_lanes = s["mode"].shape[0]
-                    do_shade = do_shade | (
-                        waiting >= max(1, int(n_lanes
-                                              * cfg.shade_ready_frac)))
-                s = jax.lax.cond(do_shade, tick, lambda ss: ss, s)
+                # Per-lane mux: step whichever context is mid-walk
+                # (alternate when both are); contexts with no active
+                # walk get picked for their shade tick.  The other
+                # context's state rides along untouched, so a lane
+                # never burns a gather on a context that is just
+                # waiting for its tick.
+                a_act = (s["mode"] == TRAVERSE) | (s["mode"] == SHADOW)
+                b_act = ((s["b.mode"] == TRAVERSE)
+                         | (s["b.mode"] == SHADOW))
+                a_pend = (s["mode"] == READY) | (s["mode"] == REFILL)
+                alt = (s["it"] % 2) == 0
+                pick_a = ((a_act & b_act & alt) | (a_act & ~b_act)
+                          | (~a_act & ~b_act & a_pend))
+                w = dict(s)
+                for kk in ctx_keys:
+                    m = (pick_a if s[kk].ndim == 1 else pick_a[..., None])
+                    w[kk] = jnp.where(m, s[kk], s[f"b.{kk}"])
+                w = run_single(w)
+                out_s = dict(w)
+                for kk in ctx_keys:
+                    m = (pick_a if s[kk].ndim == 1 else pick_a[..., None])
+                    out_s[kk] = jnp.where(m, w[kk], s[kk])
+                    out_s[f"b.{kk}"] = jnp.where(m, s[f"b.{kk}"], w[kk])
+                s = out_s
+                s["cnt"] = (~lane_done(s)).sum().astype(jnp.int32)
             s["it"] = s["it"] + 1
             return pack(s)
 
@@ -182,14 +233,14 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
 
     def main_cond(carry):
         s = unpack(carry)
-        return jnp.any(s["mode"] != DONE) & (s["cnt"] > exit_threshold)
+        return jnp.any(~lane_done(s)) & (s["cnt"] > exit_threshold)
 
     final = unpack(jax.lax.while_loop(main_cond, make_body(pixel_idx),
                                       pack(st)))
 
     if cfg.tail_spill and spill_width < n:
         # Compact the unfinished lanes (plus done fillers) to the front.
-        sel = jnp.argsort(final["mode"] == DONE)[:spill_width]
+        sel = jnp.argsort(lane_done(final))[:spill_width]
         lane_keys = [kk for kk in keys
                      if getattr(final[kk], "ndim", 0) >= 1]
         small = dict(final)
@@ -198,7 +249,7 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
         pidx_small = pixel_idx[sel]
 
         def small_cond(carry):
-            return jnp.any(unpack(carry)["mode"] != DONE)
+            return jnp.any(~lane_done(unpack(carry)))
 
         small = unpack(jax.lax.while_loop(
             small_cond, make_body(pidx_small), pack(small)))
@@ -207,7 +258,7 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
         final["n_shadow"] = small["n_shadow"]
     else:
         def small_cond(carry):
-            return jnp.any(unpack(carry)["mode"] != DONE)
+            return jnp.any(~lane_done(unpack(carry)))
 
         final = unpack(jax.lax.while_loop(
             small_cond, make_body(pixel_idx), pack(final)))
@@ -340,10 +391,11 @@ def _step_fat(s, table, sentinel, k: int, col_ps: int):
 
 def _shade_and_refill(s, scene, textures, cam, frame_seed, pixel_idx,
                       width, height, cfg: RenderConfig, spp: int,
-                      sample_offset: int, seed_spp: int):
+                      sample_offset: int, seed_spp: int,
+                      sample_stride: int = 1):
     s = _shade_ready(s, scene, textures, pixel_idx, cfg)
     return _refill(s, cam, frame_seed, pixel_idx, width, height, cfg, spp,
-                   sample_offset, seed_spp)
+                   sample_offset, seed_spp, sample_stride)
 
 
 def _shade_ready(s, scene, textures, pixel_idx, cfg: RenderConfig):
@@ -523,7 +575,7 @@ def _shade_ready(s, scene, textures, pixel_idx, cfg: RenderConfig):
 
 def _refill(s, cam, frame_seed, pixel_idx, width, height,
             cfg: RenderConfig, spp: int, sample_offset: int,
-            seed_spp: int):
+            seed_spp: int, sample_stride: int = 1):
     """Path regeneration: flush the finished sample's radiance through
     the reference's sanitation filters (renderer.cu:737-759) and start
     the lane's next sample, or retire the lane when spp is exhausted."""
@@ -532,7 +584,7 @@ def _refill(s, cam, frame_seed, pixel_idx, width, height,
     out = s["out"] + jnp.where(refill[..., None], flushed, 0.0)
     rad = jnp.where(refill[..., None], 0.0, s["rad"])
 
-    next_sample = s["sample"] + 1
+    next_sample = s["sample"] + sample_stride
     exhausted = next_sample >= spp
     new_seed = _lane_seed(frame_seed, seed_spp,
                           next_sample + jnp.int32(sample_offset))
