@@ -67,11 +67,15 @@ int trt_parse_obj(const char* path, float* verts, int32_t* faces,
                   int64_t cap, int64_t* n_verts, int64_t* n_faces) {
     FILE* f = fopen(path, "r");
     if (!f) return -1;
-    char line[1024];
+    // getline: whole lines regardless of length, matching the Python
+    // fallback (a fixed fgets buffer would split overlong lines into
+    // pseudo-lines and could fabricate phantom vertices).
+    char* line = nullptr;
+    size_t line_cap = 0;
     int64_t nv = 0, nf = 0;
-    while (fgets(line, sizeof(line), f)) {
+    while (getline(&line, &line_cap, f) != -1) {
         if (line[0] == 'v' && line[1] == ' ') {
-            if (nv >= cap) { fclose(f); return -2; }
+            if (nv >= cap) { free(line); fclose(f); return -2; }
             const char* p = line + 2;
             float xyz[3] = {0.f, 0.f, 0.f};
             for (int k = 0; k < 3; k++) {
@@ -90,13 +94,14 @@ int trt_parse_obj(const char* path, float* verts, int32_t* faces,
             if (!parse_leading_int(p, i2)) continue;
             if (i0 < 1 || i0 > nv || i1 < 1 || i1 > nv ||
                 i2 < 1 || i2 > nv) continue;  // loader.cpp:71-74
-            if (nf >= cap) { fclose(f); return -2; }
+            if (nf >= cap) { free(line); fclose(f); return -2; }
             faces[nf * 3 + 0] = (int32_t)(i0 - 1);
             faces[nf * 3 + 1] = (int32_t)(i1 - 1);
             faces[nf * 3 + 2] = (int32_t)(i2 - 1);
             nf++;
         }
     }
+    free(line);
     fclose(f);
     *n_verts = nv;
     *n_faces = nf;

@@ -93,11 +93,19 @@ def uniform(seed, stream, draw_id, xp):
     return (bits >> xp.uint32(8)).astype(xp.float32) * _INV_2_24
 
 
-def sample_seed(frame_seed: int, spp: int, sample: int) -> int:
-    """Distinct RNG seed for sample `sample` of frame `frame_seed`.
+def sample_seed(frame_seed, spp: int, sample, xp=None):
+    """Distinct RNG seed for sample ``sample`` of frame ``frame_seed``:
+    ``1984 + frame*spp + sample`` with uint32 wraparound.
 
     The reference advances the cuRAND seed by the frame counter
-    (renderer.cu:326, ``1984 + frame_seed``); we fold the in-frame
-    sample index in as well so spp > 1 per launch is supported.
+    (renderer.cu:326); the in-frame sample index is folded in so
+    spp > 1 per launch keeps distinct streams.  This is THE seed
+    schedule: every engine and the oracle must use this one function
+    (bit-identical streams are what golden tests and sharded vs
+    single-chip equality rest on).  With ``xp`` (jnp or np) the
+    inputs may be traced/array values.
     """
-    return (1984 + frame_seed * spp + sample) & 0xFFFFFFFF
+    if xp is None:
+        return (1984 + frame_seed * spp + sample) & 0xFFFFFFFF
+    return (xp.uint32(1984) + _as_u32(frame_seed, xp) * xp.uint32(spp)
+            + _as_u32(sample, xp))

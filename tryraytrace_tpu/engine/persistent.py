@@ -65,9 +65,7 @@ DONE = 4
 
 
 def _lane_seed(frame_seed, seed_spp: int, sample):
-    return (jnp.uint32(1984)
-            + frame_seed.astype(jnp.uint32) * jnp.uint32(seed_spp)
-            + sample.astype(jnp.uint32))
+    return rng.sample_seed(frame_seed, seed_spp, sample, jnp)
 
 
 def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
@@ -141,7 +139,12 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
         # Pushes outstanding <= internal depth; size the stack exactly.
         depth = min(FATNODE_DEPTH, max(1, scene.tree_depth - 1))
         st["stack"] = jnp.full((n, depth), max(sentinel, 1), jnp.int32)
-    if sentinel == 0:  # empty scene: every ray misses, all samples 0
+    if sentinel == 0:
+        if fat and scene.trimat.shape[0] > 0:
+            raise ValueError(
+                "cfg.traversal='fatnode' but the scene was uploaded "
+                "without a fat-node table (upload_scene(traversal=...))")
+        # Empty scene: every ray misses, all samples contribute 0.
         out = f3()
         stats = (jnp.float32(n * spp), jnp.float32(0))
         return (out, stats) if with_stats else out
@@ -202,17 +205,22 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
                 s = run_single(s)
             else:
                 # Per-lane mux: step whichever context is mid-walk
-                # (alternate when both are); contexts with no active
-                # walk get picked for their shade tick.  The other
-                # context's state rides along untouched, so a lane
-                # never burns a gather on a context that is just
-                # waiting for its tick.
+                # (alternate when both are).  On shade-tick iterations
+                # a PENDING context takes the slot instead so its tick
+                # fires -- otherwise a long-running context starves its
+                # partner and the two run sequentially.
                 a_act = (s["mode"] == TRAVERSE) | (s["mode"] == SHADOW)
                 b_act = ((s["b.mode"] == TRAVERSE)
                          | (s["b.mode"] == SHADOW))
                 a_pend = (s["mode"] == READY) | (s["mode"] == REFILL)
+                b_pend = ((s["b.mode"] == READY)
+                          | (s["b.mode"] == REFILL))
                 alt = (s["it"] % 2) == 0
-                pick_a = ((a_act & b_act & alt) | (a_act & ~b_act)
+                tick_now = ((s["it"] % shade_every) == (shade_every - 1)
+                            if shade_every > 1 else True)
+                pick_a = ((a_act & b_act & alt)
+                          | (a_act & ~b_act & ~(tick_now & b_pend))
+                          | (~a_act & b_act & (tick_now & a_pend))
                           | (~a_act & ~b_act & a_pend))
                 w = dict(s)
                 for kk in ctx_keys:

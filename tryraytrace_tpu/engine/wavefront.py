@@ -340,8 +340,9 @@ def render_frame(scene, textures, cam, frame_seed, width: int, height: int,
 
     def body(s, carry):
         acc, tr_all, sh_all = carry
-        seed = (jnp.uint32(1984) + frame_seed * jnp.uint32(seed_spp)
-                + jnp.uint32(sample_offset) + jnp.uint32(s))
+        seed = rng.sample_seed(frame_seed, seed_spp,
+                               jnp.uint32(sample_offset) + jnp.uint32(s),
+                               jnp)
         rad, (tr, sh) = render_sample(scene, textures, cam, seed,
                                       width, height, cfg, pixel_idx,
                                       with_stats=True)

@@ -95,10 +95,7 @@ def parse_obj(path):
     lib = _load()
     if lib is None:
         return None
-    try:
-        size = os.path.getsize(path)
-    except OSError:
-        raise
+    size = os.path.getsize(path)
     # Upper bounds: a vertex/face line is >= 8 bytes ("v 0 0 0\n").
     cap = max(size // 7 + 16, 64)
     verts = np.empty((cap, 3), dtype=np.float32)
@@ -106,7 +103,7 @@ def parse_obj(path):
     nv = ctypes.c_int64(0)
     nf = ctypes.c_int64(0)
     rc = lib.trt_parse_obj(
-        path.encode() if isinstance(path, str) else str(path).encode(),
+        os.fsencode(path),
         verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         cap, ctypes.byref(nv), ctypes.byref(nf),

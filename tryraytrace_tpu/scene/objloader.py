@@ -54,8 +54,13 @@ def _parse_obj_python(path) -> tuple[np.ndarray, np.ndarray]:
                 xyz = [0.0, 0.0, 0.0]
                 for k in range(3):
                     if k + 1 < len(parts):
+                        tok = parts[k + 1]
+                        # float() accepts underscores that strtof does
+                        # not; reject them for native/fallback parity.
+                        if "_" in tok:
+                            break
                         try:
-                            xyz[k] = float(parts[k + 1])
+                            xyz[k] = float(tok)
                         except ValueError:
                             break
                 verts.append(tuple(xyz))
@@ -71,10 +76,10 @@ def _parse_obj_python(path) -> tuple[np.ndarray, np.ndarray]:
                     continue
                 i0 = _pure_int(parts[1])
                 i1 = _pure_int(parts[2]) if i0 is not None else None
-                i2 = _leading_int(parts[3]) if i1 is not None else None
-                if i2 is None:
+                lead = _leading_int(parts[3]) if i1 is not None else None
+                if lead is None:
                     continue
-                idx = (i0, i1, i2)
+                idx = (i0, i1, lead[0])
                 if any(i < 1 or i > len(verts) for i in idx):
                     continue  # loader.cpp:71-74
                 faces.append((idx[0] - 1, idx[1] - 1, idx[2] - 1))
@@ -83,23 +88,31 @@ def _parse_obj_python(path) -> tuple[np.ndarray, np.ndarray]:
     return v, fc
 
 
-def _pure_int(tok: str):
-    try:
-        return int(tok)
-    except ValueError:
-        return None
+_ASCII_DIGITS = "0123456789"
 
 
 def _leading_int(tok: str):
+    """Leading decimal integer with strtol semantics: optional sign,
+    ASCII digits only (Python's int() would also accept underscores and
+    unicode digits, which sscanf/strtol do not)."""
     i = 0
     if i < len(tok) and tok[i] in "+-":
         i += 1
     j = i
-    while j < len(tok) and tok[j].isdigit():
+    while j < len(tok) and tok[j] in _ASCII_DIGITS:
         j += 1
     if j == i:
         return None
-    return int(tok[: j])
+    return int(tok[:j]), j
+
+
+def _pure_int(tok: str):
+    """Fully-consumed decimal integer (the whole token is the number)."""
+    got = _leading_int(tok)
+    if got is None:
+        return None
+    value, end = got
+    return value if end == len(tok) else None
 
 
 def load_obj(
