@@ -44,7 +44,9 @@ def main() -> int:
     ap.add_argument("--bvh", default=None, help="sah | median")
     ap.add_argument("--traversal", default=None, help="threaded | fatnode")
     ap.add_argument("--max-wave", type=int, default=None)
-    ap.add_argument("--dual-walk", action="store_true")
+    ap.add_argument("--dual-walk", action=argparse.BooleanOptionalAction,
+                    default=None, help="--dual-walk / --no-dual-walk "
+                    "(default: config default)")
     args = ap.parse_args()
 
     import jax
@@ -80,8 +82,8 @@ def main() -> int:
         cfg = cfg.replace(traversal=args.traversal)
     if args.max_wave is not None:
         cfg = cfg.replace(max_wave_lanes=args.max_wave)
-    if args.dual_walk:
-        cfg = cfg.replace(dual_walk=True)
+    if args.dual_walk is not None:
+        cfg = cfg.replace(dual_walk=args.dual_walk)
 
     t0 = time.time()
     scene, textures, bvh = upload_scene(arrays, leaf_size=cfg.bvh_leaf_size,

@@ -93,7 +93,11 @@ class App:
         if r.frame % 10 == 0:
             from tryraytrace_tpu.utils.logging import log_event
 
-            log_event("frame", n=r.frame, spp=r.spp(),
+            # Host-side spp counter: reading device state.spp here
+            # would block on the just-dispatched step and stall the
+            # async loop whose dispatch latency this line reports.
+            host_spp = (r.frame - 1) * (r._step_spp or self.cfg.spp)
+            log_event("frame", n=r.frame, spp=host_spp,
                       dispatch_ms=round((time.perf_counter() - t0) * 1e3, 2))
 
         # Snapshot + drop-frame dispatch (main.cpp:183-198).  The

@@ -69,11 +69,20 @@ class Renderer:
             method=self.cfg.bvh_method, traversal=self.cfg.traversal)
         self.state = RenderState.zeros(self.width * self.height)
         self.frame = 1  # gpu_frame counter parity (main.cpp:149)
+        self._step_spp = None
 
     # -- rendering -----------------------------------------------------
     def step(self, cam, spp: int | None = None) -> None:
         """One progressive pass (launch_render_kernel analogue)."""
         spp = self.cfg.spp if spp is None else spp
+        # The seed schedule 1984 + frame*spp + sample (core/rng.py) is
+        # collision-free only at constant spp; a mid-accumulation spp
+        # change would silently reuse earlier sample streams.
+        if self._step_spp is not None and spp != self._step_spp:
+            raise ValueError(
+                f"spp changed {self._step_spp} -> {spp} mid-accumulation; "
+                "call reset() first (RNG streams would alias)")
+        self._step_spp = spp
         self.state = _render_step(
             self.scene, self.textures, cam, self.state,
             jnp.uint32(self.frame), width=self.width, height=self.height,
@@ -85,6 +94,7 @@ class Renderer:
         """Camera moved: restart accumulation (main.cpp:170-173)."""
         self.state = self.state.reset()
         self.frame = 1
+        self._step_spp = None
 
     # -- readback ------------------------------------------------------
     def accum_host(self) -> np.ndarray:

@@ -303,14 +303,20 @@ def render_frame(scene, textures, cam, frame_seed, width: int, height: int,
         from tryraytrace_tpu.engine.persistent import render_frame_persistent
 
         mw = cfg.max_wave_lanes
-        if mw and pixel_idx is None and n > mw:
+        if mw and n > mw:
             # Pad the pixel space so every chunk has the same static
-            # width (duplicate pixel-0 lanes in the tail chunk write
+            # width (duplicate last-pixel lanes in the tail chunk write
             # past n and are sliced off -- exact for the real pixels).
+            # Applies to explicit pixel_idx too (e.g. a shard's rows
+            # under shard_map), so sharded renders keep the measured
+            # ~65k-lane wave optimum instead of one full-width wave.
             chunks = _cdiv(n, mw)
             chunk = _cdiv(n, chunks)
             padded = chunks * chunk
-            all_pix = jnp.minimum(jnp.arange(padded, dtype=jnp.int32), n - 1)
+            pad_pos = jnp.minimum(jnp.arange(padded, dtype=jnp.int32),
+                                  n - 1)
+            all_pix = (pad_pos if pixel_idx is None
+                       else pixel_idx[pad_pos])
 
             def body(c, carry):
                 acc, tr_all, sh_all = carry

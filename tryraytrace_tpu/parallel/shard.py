@@ -112,9 +112,17 @@ class ShardedRenderer:
             jnp.int32(0),
         )
         self.frame = 1
+        self._step_spp = None
 
     def step(self, cam, spp: int | None = None) -> None:
         spp = self.cfg.spp if spp is None else spp
+        # Same aliasing guard as engine.Renderer.step: the seed
+        # schedule (core/rng.py) needs a constant spp per accumulation.
+        if self._step_spp is not None and spp != self._step_spp:
+            raise ValueError(
+                f"spp changed {self._step_spp} -> {spp} mid-accumulation; "
+                "call reset() first (RNG streams would alias)")
+        self._step_spp = spp
         self.state = _sharded_step(
             self.scene, self.textures, cam, self.state,
             jnp.uint32(self.frame), width=self.width, height=self.height,
@@ -125,6 +133,7 @@ class ShardedRenderer:
     def reset(self) -> None:
         self.state = self.state.reset()
         self.frame = 1
+        self._step_spp = None
 
     def spp(self) -> int:
         return int(self.state.spp)
