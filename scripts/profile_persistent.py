@@ -1,0 +1,140 @@
+"""Scheduler cost breakdown for the persistent engine on the real chip.
+
+Runs one 65536-lane wave of the teapot scene (the headline's chunk
+shape) under several (step_unroll, shade_every, dual_walk) settings
+with the engine's debug counters on, then prints per-variant:
+
+  ms/frame, bodies, ticks, visits, utilization (visits/lane_steps),
+  visits/ray
+
+With >= 3 variants the (C_body, C_step, C_tick) per-unit costs are
+solvable by least squares: T = bodies*C_body + steps*C_step +
+ticks*C_tick.  This replaces guessing where the frame time goes
+(ROADMAP round-1 breakdown) with measured coefficients.
+
+Usage: python scripts/profile_persistent.py [--out prof.jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+
+VARIANTS = [
+    {"step_unroll": 4, "shade_every": 4, "dual_walk": True},
+    {"step_unroll": 4, "shade_every": 2, "dual_walk": True},
+    {"step_unroll": 2, "shade_every": 4, "dual_walk": True},
+    {"step_unroll": 4, "shade_every": 4, "dual_walk": False},
+    {"step_unroll": 1, "shade_every": 8, "dual_walk": True},
+    {"step_unroll": 8, "shade_every": 2, "dual_walk": True},
+]
+
+CHILD = r"""
+import json, sys, time, functools
+spec = json.loads(sys.argv[1])
+import jax, jax.numpy as jnp
+from tryraytrace_tpu.camera.controller import CameraController
+from tryraytrace_tpu.config import RenderConfig
+from tryraytrace_tpu.engine.device_scene import upload_scene
+from tryraytrace_tpu.engine.persistent import render_frame_persistent
+from tryraytrace_tpu.scene.assets import checker_texture
+from tryraytrace_tpu.scene.cornell import create_cornell_box
+from tryraytrace_tpu.scene.model import flatten_scene
+from tryraytrace_tpu.utils.jaxtools import enable_compilation_cache
+
+enable_compilation_cache()
+w, h, spp = 512, 512, 4
+lanes = spec.pop("lanes", 65536)
+scene_h = create_cornell_box(mesh="teapot.obj")
+arrays = flatten_scene(scene_h, textures=[checker_texture(128)])
+cfg = RenderConfig(width=w, height=h, spp=spp, **spec)
+scene, textures, bvh = upload_scene(arrays, leaf_size=cfg.bvh_leaf_size,
+                                    method=cfg.bvh_method,
+                                    traversal=cfg.traversal)
+cam = CameraController().get_params(w, h)
+pix = jnp.arange(lanes, dtype=jnp.int32)
+
+@jax.jit
+def run(frame_seed):
+    return render_frame_persistent(
+        scene, textures, cam, frame_seed, w, h, cfg, spp,
+        pixel_idx=pix, with_stats=True, with_debug=True)
+
+t0 = time.time()
+out, (tr, sh), dbg = run(jnp.uint32(1))
+jax.block_until_ready(out)
+compile_s = time.time() - t0
+t0 = time.time()
+reps = 3
+for f in range(reps):
+    out, (tr, sh), dbg = run(jnp.uint32(2 + f))
+jax.block_until_ready(out)
+dt = (time.time() - t0) / reps
+rays = float(tr) + float(sh)
+visits = float(dbg["visits"]); lane_steps = float(dbg["lane_steps"])
+print(json.dumps({
+    "ms": round(dt * 1e3, 1),
+    "bodies": int(dbg["bodies"]),
+    "ticks": int(float(dbg["ticks"])),
+    "visits": visits,
+    "lane_steps": lane_steps,
+    "utilization": round(visits / lane_steps, 4),
+    "rays": rays,
+    "visits_per_ray": round(visits / rays, 2),
+    "compile_s": round(compile_s, 1),
+    "mean": float(out.mean()),
+}), flush=True)
+"""
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/profile_persistent.jsonl")
+    ap.add_argument("--timeout", type=float, default=1500.0)
+    ap.add_argument("--variants", default=None,
+                    help="JSON list overriding the built-in grid")
+    args = ap.parse_args()
+    variants = (json.loads(args.variants) if args.variants else VARIANTS)
+
+    rows = []
+    for spec in variants:
+        rec = {"spec": dict(spec)}
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", CHILD, json.dumps(spec)],
+                capture_output=True, text=True, timeout=args.timeout)
+            if proc.returncode == 0:
+                rec.update(json.loads(proc.stdout.strip().splitlines()[-1]))
+            else:
+                rec["error"] = proc.stderr[-2000:]
+        except subprocess.TimeoutExpired:
+            rec["error"] = f"timeout after {args.timeout}s"
+        rows.append(rec)
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
+
+    good = [r for r in rows if "ms" in r]
+    if len(good) >= 3:
+        import numpy as np
+
+        a = np.array([[r["bodies"], r["lane_steps"] / 65536,
+                       r["ticks"]] for r in good])
+        y = np.array([r["ms"] for r in good])
+        coef, res, *_ = np.linalg.lstsq(a, y, rcond=None)
+        fit = {"C_body_ms": round(float(coef[0]), 4),
+               "C_step_ms": round(float(coef[1]), 4),
+               "C_tick_ms": round(float(coef[2]), 4),
+               "residual_ms": [round(float(v), 1)
+                               for v in (a @ coef - y)]}
+        with open(args.out, "a") as f:
+            f.write(json.dumps({"fit": fit}) + "\n")
+        print(json.dumps({"fit": fit}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

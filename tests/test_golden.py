@@ -58,6 +58,52 @@ def test_cornell_with_mesh_bvh():
     assert _mse(eng, ora) < MSE_EXPECT
 
 
+def _two_light_scene():
+    # Cornell box (1 ceiling light) + a second emitter: a small warm
+    # panel on the back wall.  num_lights == 2 exercises the general
+    # light-pick gather (persistent.py lcount > 1 branch, wavefront
+    # NEE gather, oracle pick) that the single-light scenes never hit.
+    scene = create_cornell_box(mesh=None)
+    for tri in (((20, 40, 598), (40, 40, 598), (40, 60, 598)),
+                ((20, 40, 598), (40, 60, 598), (20, 60, 598))):
+        scene.objects.append(Object(
+            v0=tri[0], v1=tri[1], v2=tri[2], albedo=(0, 0, 0),
+            emission=(8.0, 4.0, 1.0), roughness=1.0))
+    return flatten_scene(scene, textures=[checker_texture(32)])
+
+
+def test_multi_light_nee_persistent():
+    arrays = _two_light_scene()
+    assert arrays.num_lights == 3  # ceiling light + 2 panel tris
+    eng, ora = _render_both(arrays, 32, 24, spp=2)
+    assert _mse(eng, ora) < MSE_EXPECT
+
+
+def test_multi_light_nee_bounce_engine():
+    arrays = _two_light_scene()
+    eng, ora = _render_both(arrays, 32, 24, spp=2,
+                            cfg_kw={"engine": "bounce"})
+    assert _mse(eng, ora) < MSE_EXPECT
+
+
+def test_multi_light_picks_both_lights():
+    # The second emitter must actually contribute: occlude nothing and
+    # compare against the same scene with the panel's emission zeroed.
+    arrays = _two_light_scene()
+    cfg = RenderConfig(width=32, height=24, spp=4)
+    r = Renderer(arrays, cfg=cfg)
+    cam = CameraController()
+    r.step(cam.get_params(32, 24))
+    lit = r.accum_host()
+
+    base = create_cornell_box(mesh=None)
+    one = flatten_scene(base, textures=[checker_texture(32)])
+    r1 = Renderer(one, cfg=cfg)
+    r1.step(cam.get_params(32, 24))
+    # More light and a different light-pick stream: images must differ.
+    assert float(np.abs(lit - r1.accum_host()).max()) > 1e-3
+
+
 def test_depth_of_field():
     scene = create_cornell_box(mesh=None)
     arrays = flatten_scene(scene, textures=[checker_texture(32)])

@@ -72,13 +72,21 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
                             height: int, cfg: RenderConfig, spp: int,
                             pixel_idx=None, with_stats: bool = False,
                             sample_offset: int = 0,
-                            seed_spp: int | None = None):
+                            seed_spp: int | None = None,
+                            with_debug: bool = False):
     """All ``spp`` samples of one frame in a single regenerating wave.
     Returns the per-pixel radiance *sum* [N, 3] (+ ray stats).
 
     ``sample_offset``/``seed_spp``: see render_frame -- a
     sample-parallel shard renders samples [offset, offset+spp) of a
     ``seed_spp``-sample frame with the frame's global RNG streams.
+
+    ``with_debug`` additionally returns scheduler counters
+    {bodies, ticks, visits, lane_steps}: ``visits`` is the exact
+    node-row-gather count actually consumed by live lanes (the
+    traversal cost unit, docs/PERFORMANCE.md), ``lane_steps`` the
+    total lanes x steps issued, so visits/lane_steps = wave
+    utilization and visits/ray = the BVH quality metric.
     """
     seed_spp = spp if seed_spp is None else seed_spp
     n = width * height if pixel_idx is None else pixel_idx.shape[0]
@@ -129,6 +137,14 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
         n_shadow=jnp.float32(0),
         cnt=jnp.int32(n),             # live lanes as of the last count
     )
+    if with_debug:
+        st.update(dbg_visits=jnp.float32(0), dbg_ticks=jnp.float32(0),
+                  dbg_lane_steps=jnp.float32(0),
+                  # Per-body mode split over ALL contexts (so dual
+                  # counts both walks): done vs waiting-for-tick.
+                  dbg_ctx_done=jnp.float32(0),
+                  dbg_ctx_wait=jnp.float32(0),
+                  dbg_ctx_steps=jnp.float32(0))
     if dual:
         # Context A (samples 0,2,4,...) rides the plain keys; context B
         # (samples 1,3,5,...) is parked under b.* and swapped in by the
@@ -174,9 +190,17 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     def make_body(pidx):
         def run_single(s):
             for _ in range(step_unroll):
+                if with_debug:
+                    act = (s["mode"] == TRAVERSE) | (s["mode"] == SHADOW)
+                    s["dbg_visits"] = (s["dbg_visits"]
+                                       + act.sum().astype(jnp.float32))
+                    s["dbg_lane_steps"] = (s["dbg_lane_steps"]
+                                           + jnp.float32(act.shape[0]))
                 s = step_fn(s, table, sentinel, k, col_ps)
 
             def tick(ss):
+                if with_debug:
+                    ss["dbg_ticks"] = ss["dbg_ticks"] + 1.0
                 ss = _shade_and_refill(ss, scene, textures, cam,
                                        frame_seed, pidx, width, height,
                                        cfg, spp, sample_offset, seed_spp,
@@ -201,6 +225,15 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
 
         def body(carry):
             s = unpack(carry)
+            if with_debug:
+                modes = [s["mode"]] + ([s["b.mode"]] if dual else [])
+                for mm in modes:
+                    s["dbg_ctx_done"] += (mm == DONE).sum().astype(
+                        jnp.float32)
+                    s["dbg_ctx_wait"] += ((mm == READY)
+                                          | (mm == REFILL)).sum().astype(
+                        jnp.float32)
+                    s["dbg_ctx_steps"] += jnp.float32(mm.shape[0])
             if not dual:
                 s = run_single(s)
             else:
@@ -264,6 +297,11 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
         final["out"] = final["out"].at[sel].set(small["out"])
         final["n_traced"] = small["n_traced"]
         final["n_shadow"] = small["n_shadow"]
+        final["it"] = small["it"]
+        if with_debug:
+            for kk in ("dbg_visits", "dbg_ticks", "dbg_lane_steps",
+                       "dbg_ctx_done", "dbg_ctx_wait", "dbg_ctx_steps"):
+                final[kk] = small[kk]
     else:
         def small_cond(carry):
             return jnp.any(~lane_done(unpack(carry)))
@@ -271,6 +309,17 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
         final = unpack(jax.lax.while_loop(
             small_cond, make_body(pixel_idx), pack(final)))
 
+    if with_debug:
+        dbg = dict(bodies=final["it"], ticks=final["dbg_ticks"],
+                   visits=final["dbg_visits"],
+                   lane_steps=final["dbg_lane_steps"],
+                   ctx_done=final["dbg_ctx_done"],
+                   ctx_wait=final["dbg_ctx_wait"],
+                   ctx_steps=final["dbg_ctx_steps"])
+        if with_stats:
+            return final["out"], (final["n_traced"],
+                                  final["n_shadow"]), dbg
+        return final["out"], dbg
     if with_stats:
         return final["out"], (final["n_traced"], final["n_shadow"])
     return final["out"]
