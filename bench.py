@@ -47,6 +47,7 @@ def main() -> int:
     ap.add_argument("--dual-walk", action=argparse.BooleanOptionalAction,
                     default=None, help="--dual-walk / --no-dual-walk "
                     "(default: config default)")
+    ap.add_argument("--scheduler", default=None, help="pool | owner")
     args = ap.parse_args()
 
     import jax
@@ -84,6 +85,8 @@ def main() -> int:
         cfg = cfg.replace(max_wave_lanes=args.max_wave)
     if args.dual_walk is not None:
         cfg = cfg.replace(dual_walk=args.dual_walk)
+    if args.scheduler:
+        cfg = cfg.replace(scheduler=args.scheduler)
 
     t0 = time.time()
     scene, textures, bvh = upload_scene(arrays, leaf_size=cfg.bvh_leaf_size,

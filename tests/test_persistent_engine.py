@@ -100,15 +100,58 @@ def test_dual_walk_identical(arrays):
     p = cam.get_params(40, 24)
     outs = []
     for dw in (False, True):
-        cfg = RenderConfig(width=40, height=24, spp=4, dual_walk=dw)
+        # Dual-walk engages only under the owner scheduler (the pool
+        # scheduler subsumes its idle-filling and forces single-walk).
+        cfg = RenderConfig(width=40, height=24, spp=4, dual_walk=dw,
+                           scheduler="owner")
         r = Renderer(arrays, cfg=cfg)
         r.step(p, spp=4)
         outs.append(r.accum_host())
     np.testing.assert_allclose(outs[0], outs[1], **_ULP)
 
 
+def test_pool_scheduler_bit_identical(arrays):
+    # Work stealing is a pure scheduling transform: per-pixel sums are
+    # bit-equal to the owner schedule for ANY wave width / span.
+    cam = CameraController()
+    cam.aperture = 0.5
+    p = cam.get_params(40, 24)
+    base = RenderConfig(width=40, height=24, spp=4, dual_walk=False)
+    outs = []
+    for kw in (dict(scheduler="owner"),
+               dict(scheduler="pool", max_wave_lanes=128, pool_span=450),
+               dict(scheduler="pool", max_wave_lanes=64, pool_span=0),
+               dict(scheduler="pool", max_wave_lanes=96, pool_span=300,
+                    tail_spill=False)):
+        r = Renderer(arrays, cfg=base.replace(**kw))
+        r.step(p, spp=4)
+        outs.append(r.accum_host())
+    for other in outs[1:]:
+        np.testing.assert_array_equal(outs[0], other)
+
+
+def test_pool_scheduler_stats_match(arrays):
+    import jax
+    from tryraytrace_tpu.engine.wavefront import frame_ray_stats
+
+    cam = CameraController().get_params(32, 16)
+    counts = {}
+    for sched in ("owner", "pool"):
+        cfg = RenderConfig(width=32, height=16, spp=2, dual_walk=False,
+                           scheduler=sched, max_wave_lanes=128,
+                           pool_span=256)
+        r = Renderer(arrays, cfg=cfg)
+        tr, sh = jax.jit(
+            frame_ray_stats,
+            static_argnames=("width", "height", "cfg", "spp"),
+        )(r.scene, r.textures, cam, 1, width=32, height=16, cfg=cfg, spp=2)
+        counts[sched] = (float(tr), float(sh))
+    assert counts["owner"] == counts["pool"]
+
+
 def test_dual_walk_odd_spp_falls_back(arrays):
-    cfg = RenderConfig(width=16, height=12, spp=3, dual_walk=True)
+    cfg = RenderConfig(width=16, height=12, spp=3, dual_walk=True,
+                       scheduler="owner")
     r = Renderer(arrays, cfg=cfg)
     cam = CameraController()
     r.step(cam.get_params(16, 12), spp=3)
@@ -124,7 +167,8 @@ def test_dual_walk_stats_match(arrays):
     cam = CameraController().get_params(32, 16)
     counts = {}
     for dw in (False, True):
-        cfg = RenderConfig(width=32, height=16, spp=2, dual_walk=dw)
+        cfg = RenderConfig(width=32, height=16, spp=2, dual_walk=dw,
+                           scheduler="owner")
         r = Renderer(arrays, cfg=cfg)
         tr, sh = jax.jit(
             frame_ray_stats,

@@ -102,6 +102,33 @@ class RenderConfig:
     # saved idle steps: headline 10.71 vs 10.85 Mrays/s), so cadence-
     # only is the default; the real fix is dual-walk lanes (ROADMAP).
     shade_ready_frac: float = 0.0
+    # Lane scheduling for the persistent engine.  "pool": work
+    # stealing -- the wave is max_wave_lanes wide and a lane that
+    # finishes its pixel's spp samples claims the next unclaimed pixel
+    # from a frame-wide pool, so lanes only idle once the whole frame
+    # is drained (one tail per FRAME instead of per chunk).  "owner":
+    # each lane is bound to one pixel for the whole wave and retires
+    # after its spp samples (frames wider than max_wave_lanes render
+    # in sequential chunks, each paying its own straggler tail --
+    # measured 53% of lane-steps idle in DONE at the headline).
+    # Identical images: a pixel is still rendered entirely by one lane
+    # with samples in order, so per-pixel sums are bit-equal.
+    # Measured on v5e (docs/PERFORMANCE.md): pool wins +17% at spp<=4
+    # (tails dominate) but LOSES at the 16-spp headline (9.63 vs 11.01
+    # Mrays/s) -- the per-tick claim logic (scatter + cumsum + pool
+    # gather) costs more than the recovered idle, and pool disables
+    # dual-walk.  Owner stays the default; use --scheduler pool for
+    # low-spp interactive frames.
+    scheduler: str = "owner"
+    # Pixels per pool (work-stealing) span: frames with more pixels
+    # render in sequential spans of at most this many (0 = whole
+    # frame).  Bounds the per-pixel output buffer carried through the
+    # traversal loop -- a frame-wide pool at 1080p carries a 24 MB
+    # accumulator through every iteration and measured ~45% slower
+    # than owner; 4x the wave width keeps the buffer at 3 MB while
+    # giving each lane 4 pixels of stealing headroom.  Exact for any
+    # value (RNG streams and per-pixel sums are absolute).
+    pool_span: int = 262144
     # Tail spill: once fewer than ~1/32 of lanes remain live, compact
     # the survivors into a 1/16-width continuation wave (exact lane
     # permutation; identical images).  See docs/PERFORMANCE.md.

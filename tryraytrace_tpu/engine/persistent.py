@@ -100,43 +100,66 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     col_ps = 6 + 9 * k
     shade_every = max(1, cfg.shade_every)
 
-    dual = (cfg.dual_walk and not fat and spp >= 2 and spp % 2 == 0)
+    # Work-stealing pool: the wave is (at most) max_wave_lanes wide and
+    # lanes *claim* pixels from a shared pool as they retire them, so a
+    # lane never idles in DONE while unrendered pixels remain -- the
+    # owner scheduler's per-lane (pixel x spp) binding leaves lanes
+    # waiting on stragglers (measured 53% of lane-steps, ROADMAP).
+    # One pixel is still rendered entirely by one lane with samples in
+    # order, so per-pixel sums are bit-identical to the owner schedule.
+    if cfg.scheduler not in ("pool", "owner"):
+        raise ValueError(f"unknown scheduler {cfg.scheduler!r}")
+    mw = cfg.max_wave_lanes or n
+    pool = cfg.scheduler == "pool"
+    w = min(n, mw) if pool else n
+    n_items = n if pool else 0  # 0 disables pool logic downstream
+
+    dual = (cfg.dual_walk and not fat and not pool
+            and spp >= 2 and spp % 2 == 0)
     sample_stride = 2 if dual else 1
 
-    f3 = lambda: jnp.zeros((n, 3), jnp.float32)
+    f3 = lambda: jnp.zeros((w, 3), jnp.float32)
 
     def init_ctx(first_sample: int) -> dict:
-        sample0 = jnp.full((n,), first_sample, jnp.int32)
+        sample0 = jnp.full((w,), first_sample, jnp.int32)
         seed0 = _lane_seed(frame_seed, seed_spp,
                            sample0 + jnp.int32(sample_offset))
-        r_o, r_d = generate_rays(cam, width, height, seed0, pixel_idx)
+        pix0 = pixel_idx[:w]
+        r_o, r_d = generate_rays(cam, width, height, seed0, pix0)
         return dict(
-            mode=jnp.full((n,), TRAVERSE, jnp.int32),
-            cur=jnp.zeros((n,), jnp.int32),
-            d_min=jnp.full((n,), MISS_T),
-            hit_id=jnp.full((n,), -1, jnp.int32),
+            mode=jnp.full((w,), TRAVERSE, jnp.int32),
+            cur=jnp.zeros((w,), jnp.int32),
+            d_min=jnp.full((w,), MISS_T),
+            hit_id=jnp.full((w,), -1, jnp.int32),
             o=r_o, d=r_d,
-            tp=jnp.ones((n, 3), jnp.float32),
+            tp=jnp.ones((w, 3), jnp.float32),
             rad=f3(),                 # current sample's radiance
             sample=sample0,
             seed=seed0,
-            depth=jnp.zeros((n,), jnp.int32),
-            prev_spec=jnp.ones((n,), bool),
+            pix=pix0,                 # this lane's absolute pixel id
+            depth=jnp.zeros((w,), jnp.int32),
+            prev_spec=jnp.ones((w,), bool),
             so=f3(), sd=f3(),
-            smax=jnp.zeros((n,), jnp.float32),
+            smax=jnp.zeros((w,), jnp.float32),
             pend=f3(),
-            cont_after_shadow=jnp.zeros((n,), bool),
+            cont_after_shadow=jnp.zeros((w,), bool),
         )
 
     ctx_keys = tuple(sorted(init_ctx(0).keys())) if dual else ()
     st = init_ctx(0)
     st.update(
-        out=f3(),                     # accumulated sanitized samples
+        out=jnp.zeros((n, 3), jnp.float32),  # accumulated per pixel
         it=jnp.int32(0),
-        n_traced=jnp.float32(n * (2 if dual else 1)),  # camera rays
+        n_traced=jnp.float32(w * (2 if dual else 1)),  # camera rays
         n_shadow=jnp.float32(0),
-        cnt=jnp.int32(n),             # live lanes as of the last count
+        cnt=jnp.int32(w),             # live lanes as of the last count
     )
+    if pool:
+        st.update(
+            pos=jnp.arange(w, dtype=jnp.int32),  # claimed pool position
+            acc=f3(),                 # current pixel's partial sum
+            pool_next=jnp.int32(w),   # next unclaimed pool position
+        )
     if with_debug:
         st.update(dbg_visits=jnp.float32(0), dbg_ticks=jnp.float32(0),
                   dbg_lane_steps=jnp.float32(0),
@@ -161,7 +184,7 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
                 "cfg.traversal='fatnode' but the scene was uploaded "
                 "without a fat-node table (upload_scene(traversal=...))")
         # Empty scene: every ray misses, all samples contribute 0.
-        out = f3()
+        out = jnp.zeros((n, 3), jnp.float32)
         stats = (jnp.float32(n * spp), jnp.float32(0))
         return (out, stats) if with_stats else out
 
@@ -174,7 +197,7 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     # width); the survivors are compacted -- inside the same jit, an
     # exact permutation of independent lanes -- into a 1/16-width
     # continuation wave that runs to completion.
-    spill_width = max(min(n, 64), n // 16)
+    spill_width = max(min(w, 64), w // 16)
     exit_threshold = spill_width // 2
 
     step_unroll = max(1, cfg.step_unroll)
@@ -187,7 +210,7 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
             done = done & (s["b.mode"] == DONE)
         return done
 
-    def make_body(pidx):
+    def make_body():
         def run_single(s):
             for _ in range(step_unroll):
                 if with_debug:
@@ -202,9 +225,9 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
                 if with_debug:
                     ss["dbg_ticks"] = ss["dbg_ticks"] + 1.0
                 ss = _shade_and_refill(ss, scene, textures, cam,
-                                       frame_seed, pidx, width, height,
-                                       cfg, spp, sample_offset, seed_spp,
-                                       sample_stride)
+                                       frame_seed, pixel_idx, width,
+                                       height, cfg, spp, sample_offset,
+                                       seed_spp, sample_stride, n_items)
                 ss["cnt"] = (ss["mode"] != DONE).sum().astype(jnp.int32)
                 return ss
 
@@ -276,25 +299,30 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
         s = unpack(carry)
         return jnp.any(~lane_done(s)) & (s["cnt"] > exit_threshold)
 
-    final = unpack(jax.lax.while_loop(main_cond, make_body(pixel_idx),
-                                      pack(st)))
+    body = make_body()
+    final = unpack(jax.lax.while_loop(main_cond, body, pack(st)))
 
-    if cfg.tail_spill and spill_width < n:
+    def small_cond(carry):
+        return jnp.any(~lane_done(unpack(carry)))
+
+    if cfg.tail_spill and spill_width < w:
         # Compact the unfinished lanes (plus done fillers) to the front.
+        # ``out`` is per-pixel, not per-lane, in pool mode: it stays
+        # full-width and the spill wave keeps scattering into it.
         sel = jnp.argsort(lane_done(final))[:spill_width]
         lane_keys = [kk for kk in keys
-                     if getattr(final[kk], "ndim", 0) >= 1]
+                     if getattr(final[kk], "ndim", 0) >= 1
+                     and (kk != "out" or not pool)]
         small = dict(final)
         for kk in lane_keys:
             small[kk] = final[kk][sel]
-        pidx_small = pixel_idx[sel]
 
-        def small_cond(carry):
-            return jnp.any(~lane_done(unpack(carry)))
-
-        small = unpack(jax.lax.while_loop(
-            small_cond, make_body(pidx_small), pack(small)))
-        final["out"] = final["out"].at[sel].set(small["out"])
+        small = unpack(jax.lax.while_loop(small_cond, body, pack(small)))
+        if pool:
+            final["out"] = small["out"]
+            final["pool_next"] = small["pool_next"]
+        else:
+            final["out"] = final["out"].at[sel].set(small["out"])
         final["n_traced"] = small["n_traced"]
         final["n_shadow"] = small["n_shadow"]
         final["it"] = small["it"]
@@ -303,11 +331,7 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
                        "dbg_ctx_done", "dbg_ctx_wait", "dbg_ctx_steps"):
                 final[kk] = small[kk]
     else:
-        def small_cond(carry):
-            return jnp.any(~lane_done(unpack(carry)))
-
-        final = unpack(jax.lax.while_loop(
-            small_cond, make_body(pixel_idx), pack(final)))
+        final = unpack(jax.lax.while_loop(small_cond, body, pack(final)))
 
     if with_debug:
         dbg = dict(bodies=final["it"], ticks=final["dbg_ticks"],
@@ -446,21 +470,22 @@ def _step_fat(s, table, sentinel, k: int, col_ps: int):
     return out
 
 
-def _shade_and_refill(s, scene, textures, cam, frame_seed, pixel_idx,
+def _shade_and_refill(s, scene, textures, cam, frame_seed, pixel_pool,
                       width, height, cfg: RenderConfig, spp: int,
                       sample_offset: int, seed_spp: int,
-                      sample_stride: int = 1):
-    s = _shade_ready(s, scene, textures, pixel_idx, cfg)
-    return _refill(s, cam, frame_seed, pixel_idx, width, height, cfg, spp,
-                   sample_offset, seed_spp, sample_stride)
+                      sample_stride: int = 1, n_items: int = 0):
+    s = _shade_ready(s, scene, textures, cfg)
+    return _refill(s, cam, frame_seed, pixel_pool, width, height, cfg, spp,
+                   sample_offset, seed_spp, sample_stride, n_items)
 
 
-def _shade_ready(s, scene, textures, pixel_idx, cfg: RenderConfig):
+def _shade_ready(s, scene, textures, cfg: RenderConfig):
     """Shade every READY lane: the full reference shading block
     (renderer.cu:427-733) in masked form, slot-addressed RNG by the
-    lane's own (sample seed, depth)."""
+    lane's own (sample seed, pixel, depth)."""
     ready = s["mode"] == READY
     seed = s["seed"]
+    pixel_idx = s["pix"]
     sid = jnp.maximum(s["hit_id"], 0)
     found = s["hit_id"] >= 0
     alive = ready & found  # miss -> path ends (renderer.cu:427)
@@ -630,28 +655,65 @@ def _shade_ready(s, scene, textures, pixel_idx, cfg: RenderConfig):
     return out
 
 
-def _refill(s, cam, frame_seed, pixel_idx, width, height,
+def _refill(s, cam, frame_seed, pixel_pool, width, height,
             cfg: RenderConfig, spp: int, sample_offset: int,
-            seed_spp: int, sample_stride: int = 1):
+            seed_spp: int, sample_stride: int = 1, n_items: int = 0):
     """Path regeneration: flush the finished sample's radiance through
     the reference's sanitation filters (renderer.cu:737-759) and start
-    the lane's next sample, or retire the lane when spp is exhausted."""
+    the lane's next sample.  When the lane's pixel is out of samples:
+    owner schedule (n_items == 0) retires the lane; pool schedule
+    flushes the pixel sum into ``out`` and *claims the next unclaimed
+    pixel* from ``pixel_pool`` (work stealing -- lanes only go DONE
+    once the whole pool is drained)."""
     refill = s["mode"] == REFILL
     flushed = _sanitize(s["rad"], cfg)
-    out = s["out"] + jnp.where(refill[..., None], flushed, 0.0)
     rad = jnp.where(refill[..., None], 0.0, s["rad"])
 
     next_sample = s["sample"] + sample_stride
     exhausted = next_sample >= spp
-    new_seed = _lane_seed(frame_seed, seed_spp,
-                          next_sample + jnp.int32(sample_offset))
-    r_o, r_d = generate_rays(cam, width, height, new_seed, pixel_idx)
-
-    start = refill & ~exhausted
-    st3 = start[..., None]
-    mode = jnp.where(refill, jnp.where(exhausted, DONE, TRAVERSE),
-                     s["mode"])
     res = dict(s)
+
+    if n_items > 0:  # pool schedule
+        acc = s["acc"] + jnp.where(refill[..., None], flushed, 0.0)
+        pixel_done = refill & exhausted
+        # Every lane's ``pos`` is a distinct pool position for the
+        # whole frame (claims are unique), so the scatter can promise
+        # unique in-bounds indices -- without the promise TPU scatter-
+        # add serializes.  Idle lanes add exact 0.0 at their old pos.
+        out = s["out"].at[s["pos"]].add(
+            jnp.where(pixel_done[..., None], acc, 0.0),
+            unique_indices=True, mode="promise_in_bounds")
+        claims = pixel_done.astype(jnp.int32)
+        newpos = s["pool_next"] + jnp.cumsum(claims) - claims
+        have = pixel_done & (newpos < n_items)
+        pix = jnp.where(
+            have, pixel_pool[jnp.minimum(newpos, n_items - 1)], s["pix"])
+        new_sample = jnp.where(pixel_done, 0,
+                               jnp.where(refill, next_sample, s["sample"]))
+        start = refill & (~exhausted | have)
+        mode = jnp.where(refill, jnp.where(start, TRAVERSE, DONE),
+                         s["mode"])
+        res.update(
+            out=out,
+            acc=jnp.where(pixel_done[..., None], 0.0, acc),
+            pos=jnp.where(have, newpos, s["pos"]),
+            pix=pix,
+            pool_next=s["pool_next"] + claims.sum(),
+        )
+    else:  # owner schedule: lane pixel is fixed, out is per lane
+        out = s["out"] + jnp.where(refill[..., None], flushed, 0.0)
+        new_sample = jnp.where(refill, next_sample, s["sample"])
+        start = refill & ~exhausted
+        mode = jnp.where(refill, jnp.where(exhausted, DONE, TRAVERSE),
+                         s["mode"])
+        pix = s["pix"]
+        res.update(out=out)
+
+    new_seed = _lane_seed(frame_seed, seed_spp,
+                          new_sample + jnp.int32(sample_offset))
+    r_o, r_d = generate_rays(cam, width, height, new_seed, pix)
+
+    st3 = start[..., None]
     res.update(
         mode=mode,
         cur=jnp.where(start, 0, s["cur"]),
@@ -661,8 +723,7 @@ def _refill(s, cam, frame_seed, pixel_idx, width, height,
         d=jnp.where(st3, r_d, s["d"]),
         tp=jnp.where(st3, 1.0, s["tp"]),
         rad=rad,
-        out=out,
-        sample=jnp.where(refill, next_sample, s["sample"]),
+        sample=new_sample,
         seed=jnp.where(refill, new_seed, s["seed"]),
         depth=jnp.where(start, 0, s["depth"]),
         prev_spec=jnp.where(start, True, s["prev_spec"]),

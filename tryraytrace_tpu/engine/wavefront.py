@@ -302,7 +302,13 @@ def render_frame(scene, textures, cam, frame_seed, width: int, height: int,
     if cfg.engine == "persistent":
         from tryraytrace_tpu.engine.persistent import render_frame_persistent
 
+        # Oversize frames render in sequential chunks: the owner
+        # scheduler chunks at the wave width; the pool scheduler
+        # chunks at pool_span (several pixels of work-stealing
+        # headroom per lane, straggler tail paid once per span).
         mw = cfg.max_wave_lanes
+        if cfg.scheduler == "pool":
+            mw = cfg.pool_span
         if mw and n > mw:
             # Pad the pixel space so every chunk has the same static
             # width (duplicate last-pixel lanes in the tail chunk write
