@@ -94,9 +94,15 @@ class SceneArrays:
         """Apply the BVH build's primitive reordering to every SoA
         array (the reference instead sorts the AoS vector in place,
         bvh.cpp:93; here the permutation is explicit and light indices
-        are remapped through it)."""
-        inv = np.empty_like(perm)
-        inv[perm] = np.arange(perm.shape[0], dtype=perm.dtype)
+        are remapped through it).
+
+        ``perm`` may be *surjective* rather than bijective: an SBVH
+        build emits duplicated references to straddling triangles
+        (accel/bvh.py _build_sbvh).  Duplicated slots carry identical
+        data; each light maps to one canonical slot so the NEE pick
+        pdf stays 1/(area*L)."""
+        inv = np.empty(self.num_objects, dtype=np.int32)
+        inv[perm] = np.arange(perm.shape[0], dtype=np.int32)
         return SceneArrays(
             tri_v0=self.tri_v0[perm],
             tri_v1=self.tri_v1[perm],
