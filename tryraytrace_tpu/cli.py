@@ -77,7 +77,29 @@ def build_scene_arrays(args):
     return flatten_scene(scene, textures=textures)
 
 
+def _make_renderer(args, arrays, cfg):
+    """Single-chip Renderer, or ShardedRenderer over the (dp, sp) mesh
+    of ALL devices -- every process's, once init_distributed ran."""
+    if not (args.coordinator or args.sharded):
+        from tryraytrace_tpu.engine.renderer import Renderer
+
+        return Renderer(arrays, cfg=cfg)
+    from tryraytrace_tpu.parallel.mesh import make_mesh
+    from tryraytrace_tpu.parallel.shard import ShardedRenderer
+
+    mesh = make_mesh(tile=args.mesh_tile, sample=args.mesh_sample)
+    return ShardedRenderer(arrays, cfg, mesh=mesh)
+
+
 def cmd_render(args) -> int:
+    # Multi-process init must precede every other JAX call.
+    if args.coordinator:
+        from tryraytrace_tpu.parallel.distributed import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id,
+                         cpu_devices_per_process=args.cpu_devices)
+
     from tryraytrace_tpu.camera.controller import CameraController
     from tryraytrace_tpu.engine.renderer import Renderer
     from tryraytrace_tpu.engine.state import load_checkpoint, save_checkpoint
@@ -90,7 +112,7 @@ def cmd_render(args) -> int:
     cfg = _cfg_from_args(args)
     with timer.phase("build+upload"):
         arrays = build_scene_arrays(args)
-        r = Renderer(arrays, cfg=cfg)
+        r = _make_renderer(args, arrays, cfg)
     cam = CameraController()
     cam.aperture = args.aperture
     cam.focus_dist = args.focus
@@ -102,7 +124,10 @@ def cmd_render(args) -> int:
                              f"{cfg.width}x{cfg.height}")
         import jax
 
-        r.state = jax.device_put(state)
+        # Keep the renderer's shardings (a ShardedRenderer state is
+        # dp-sharded; device_put distributes the host checkpoint).
+        shardings = jax.tree.map(lambda x: x.sharding, r.state)
+        r.state = jax.device_put(state, shardings)
         r.frame = frame_seed
         if saved_cam is not None:
             cam = saved_cam
@@ -118,16 +143,27 @@ def cmd_render(args) -> int:
     log_event("render_done", frames=args.frames, spp=r.spp(),
               ms_per_frame=round(dt / args.frames * 1e3, 2))
 
-    if args.checkpoint:
-        save_checkpoint(args.checkpoint, r.state, cfg.width, cfg.height,
-                        camera=cam, frame_seed=r.frame)
-        log_event("checkpoint_saved", path=args.checkpoint)
+    # Every process participates in the accumulator gather (it is a
+    # collective on a multi-host mesh); only process 0 touches disk.
+    from tryraytrace_tpu.engine.state import RenderState
+    from tryraytrace_tpu.parallel.distributed import gather_accum_host
 
-    with timer.phase("tonemap+write"):
-        img = tonemap_accum(r.accum_host(), max(r.spp(), 1))
-        save_ppm(args.out, img)
-    print(f"[tpurt] wrote {args.out} ({cfg.width}x{cfg.height}, "
-          f"{r.spp()} spp, {dt:.2f}s)")
+    accum = gather_accum_host(r.state.accum)
+    import jax
+
+    if jax.process_index() == 0:
+        if args.checkpoint:
+            host_state = RenderState(accum, r.state.spp)
+            save_checkpoint(args.checkpoint, host_state, cfg.width,
+                            cfg.height, camera=cam, frame_seed=r.frame)
+            log_event("checkpoint_saved", path=args.checkpoint)
+
+        with timer.phase("tonemap+write"):
+            img = tonemap_accum(
+                accum.reshape(cfg.height, cfg.width, 3), max(r.spp(), 1))
+            save_ppm(args.out, img)
+        print(f"[tpurt] wrote {args.out} ({cfg.width}x{cfg.height}, "
+              f"{r.spp()} spp, {dt:.2f}s)")
     print(timer.summary(), file=sys.stderr)
     return 0
 
@@ -213,6 +249,20 @@ def main(argv=None) -> int:
                    help="save accumulator+camera to .npz after rendering")
     p.add_argument("--resume", default=None,
                    help="resume from a checkpoint .npz")
+    p.add_argument("--sharded", action="store_true",
+                   help="render over a (dp, sp) mesh of all devices")
+    p.add_argument("--mesh-tile", type=int, default=None,
+                   help="dp (pixel-tile) mesh extent; default all devices")
+    p.add_argument("--mesh-sample", type=int, default=None,
+                   help="sp (sample-parallel) mesh extent; default 1")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host: jax.distributed coordinator address "
+                        "(run the same command on every host)")
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("--cpu-devices", type=int, default=None,
+                   help="multi-host smoke testing: force the CPU "
+                        "platform with N devices per process")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("interactive", help="windowed/headless game loop")

@@ -24,6 +24,7 @@ for the reference scenes (<= ~26k nodes) fit comfortably in VMEM.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -31,7 +32,10 @@ from tryraytrace_tpu.core import vec
 from tryraytrace_tpu.ops.aabb import aabb_hit, aabb_slab
 from tryraytrace_tpu.ops.intersect import moller_trumbore
 
-MISS_T = jnp.float32(1e20)  # renderer.cu:380
+# np (not jnp): a module-level jnp scalar would initialize the JAX
+# backend at import time, breaking pre-backend config such as
+# jax.distributed.initialize (parallel/distributed.py).
+MISS_T = np.float32(1e20)  # renderer.cu:380
 
 def ray_octant(r_d, xp=jnp):
     """Direction octant (bit k set iff d_k < 0) -> int32 [N]."""

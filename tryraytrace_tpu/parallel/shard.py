@@ -139,7 +139,11 @@ class ShardedRenderer:
         return int(self.state.spp)
 
     def accum_host(self) -> np.ndarray:
-        return np.asarray(self.state.accum).reshape(
+        from tryraytrace_tpu.parallel.distributed import gather_accum_host
+
+        # On a multi-host mesh the dp shards live on other processes;
+        # allgather them (single-process: plain device->host copy).
+        return gather_accum_host(self.state.accum).reshape(
             self.height, self.width, 3)
 
     def block_until_ready(self) -> None:
