@@ -122,6 +122,10 @@ def test_pool_scheduler_bit_identical(arrays):
                dict(scheduler="pool", max_wave_lanes=128, pool_span=450),
                dict(scheduler="pool", max_wave_lanes=64, pool_span=0),
                dict(scheduler="pool", max_wave_lanes=96, pool_span=300,
+                    tail_spill=False),
+               dict(scheduler="quota", max_wave_lanes=128, pool_span=450),
+               dict(scheduler="quota", max_wave_lanes=64, pool_span=0),
+               dict(scheduler="quota", max_wave_lanes=96, pool_span=300,
                     tail_spill=False)):
         r = Renderer(arrays, cfg=base.replace(**kw))
         r.step(p, spp=4)
@@ -136,7 +140,7 @@ def test_pool_scheduler_stats_match(arrays):
 
     cam = CameraController().get_params(32, 16)
     counts = {}
-    for sched in ("owner", "pool"):
+    for sched in ("owner", "pool", "quota"):
         cfg = RenderConfig(width=32, height=16, spp=2, dual_walk=False,
                            scheduler=sched, max_wave_lanes=128,
                            pool_span=256)
@@ -146,7 +150,7 @@ def test_pool_scheduler_stats_match(arrays):
             static_argnames=("width", "height", "cfg", "spp"),
         )(r.scene, r.textures, cam, 1, width=32, height=16, cfg=cfg, spp=2)
         counts[sched] = (float(tr), float(sh))
-    assert counts["owner"] == counts["pool"]
+    assert counts["owner"] == counts["pool"] == counts["quota"]
 
 
 def test_dual_walk_odd_spp_falls_back(arrays):

@@ -113,6 +113,10 @@ class RenderConfig:
     # measured 53% of lane-steps idle in DONE at the headline).
     # Identical images: a pixel is still rendered entirely by one lane
     # with samples in order, so per-pixel sums are bit-equal.
+    # "quota" is the pool with *static strided* claims: lane i owns
+    # pool positions i, i+w, i+2w, ... -- no shared counter, no cumsum,
+    # no partial-sum array; the straggler tail still averages over
+    # ~pool_span/w pixels per lane.
     # Measured on v5e (docs/PERFORMANCE.md): pool wins +17% at spp<=4
     # (tails dominate) but LOSES at the 16-spp headline (9.63 vs 11.01
     # Mrays/s) -- the per-tick claim logic (scatter + cumsum + pool

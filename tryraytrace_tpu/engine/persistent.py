@@ -107,10 +107,15 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     # waiting on stragglers (measured 53% of lane-steps, ROADMAP).
     # One pixel is still rendered entirely by one lane with samples in
     # order, so per-pixel sums are bit-identical to the owner schedule.
-    if cfg.scheduler not in ("pool", "owner"):
+    # "quota" is the pool without shared state: lane i statically owns
+    # pool positions i, i+w, i+2w, ... (newpos = pos + w instead of a
+    # cumsum over a shared counter), which still averages straggler
+    # variance over ~n/w pixels per lane but adds no per-tick claim
+    # arithmetic beyond one compare.
+    if cfg.scheduler not in ("pool", "quota", "owner"):
         raise ValueError(f"unknown scheduler {cfg.scheduler!r}")
     mw = cfg.max_wave_lanes or n
-    pool = cfg.scheduler == "pool"
+    pool = cfg.scheduler in ("pool", "quota")
     w = min(n, mw) if pool else n
     n_items = n if pool else 0  # 0 disables pool logic downstream
 
@@ -155,11 +160,12 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
         cnt=jnp.int32(w),             # live lanes as of the last count
     )
     if pool:
-        st.update(
-            pos=jnp.arange(w, dtype=jnp.int32),  # claimed pool position
-            acc=f3(),                 # current pixel's partial sum
-            pool_next=jnp.int32(w),   # next unclaimed pool position
-        )
+        st.update(pos=jnp.arange(w, dtype=jnp.int32))  # claimed position
+        if cfg.scheduler == "pool":
+            st.update(
+                acc=f3(),             # current pixel's partial sum
+                pool_next=jnp.int32(w),  # next unclaimed pool position
+            )
     if with_debug:
         st.update(dbg_visits=jnp.float32(0), dbg_ticks=jnp.float32(0),
                   dbg_lane_steps=jnp.float32(0),
@@ -227,7 +233,8 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
                 ss = _shade_and_refill(ss, scene, textures, cam,
                                        frame_seed, pixel_idx, width,
                                        height, cfg, spp, sample_offset,
-                                       seed_spp, sample_stride, n_items)
+                                       seed_spp, sample_stride, n_items,
+                                       stride=w)
                 ss["cnt"] = (ss["mode"] != DONE).sum().astype(jnp.int32)
                 return ss
 
@@ -320,7 +327,8 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
         small = unpack(jax.lax.while_loop(small_cond, body, pack(small)))
         if pool:
             final["out"] = small["out"]
-            final["pool_next"] = small["pool_next"]
+            if cfg.scheduler == "pool":
+                final["pool_next"] = small["pool_next"]
         else:
             final["out"] = final["out"].at[sel].set(small["out"])
         final["n_traced"] = small["n_traced"]
@@ -473,10 +481,11 @@ def _step_fat(s, table, sentinel, k: int, col_ps: int):
 def _shade_and_refill(s, scene, textures, cam, frame_seed, pixel_pool,
                       width, height, cfg: RenderConfig, spp: int,
                       sample_offset: int, seed_spp: int,
-                      sample_stride: int = 1, n_items: int = 0):
+                      sample_stride: int = 1, n_items: int = 0,
+                      stride: int = 0):
     s = _shade_ready(s, scene, textures, cfg)
     return _refill(s, cam, frame_seed, pixel_pool, width, height, cfg, spp,
-                   sample_offset, seed_spp, sample_stride, n_items)
+                   sample_offset, seed_spp, sample_stride, n_items, stride)
 
 
 def _shade_ready(s, scene, textures, cfg: RenderConfig):
@@ -657,14 +666,16 @@ def _shade_ready(s, scene, textures, cfg: RenderConfig):
 
 def _refill(s, cam, frame_seed, pixel_pool, width, height,
             cfg: RenderConfig, spp: int, sample_offset: int,
-            seed_spp: int, sample_stride: int = 1, n_items: int = 0):
+            seed_spp: int, sample_stride: int = 1, n_items: int = 0,
+            stride: int = 0):
     """Path regeneration: flush the finished sample's radiance through
     the reference's sanitation filters (renderer.cu:737-759) and start
     the lane's next sample.  When the lane's pixel is out of samples:
-    owner schedule (n_items == 0) retires the lane; pool schedule
-    flushes the pixel sum into ``out`` and *claims the next unclaimed
-    pixel* from ``pixel_pool`` (work stealing -- lanes only go DONE
-    once the whole pool is drained)."""
+    owner schedule (n_items == 0) retires the lane; pool/quota
+    schedules flush into ``out`` and claim the next pool position --
+    pool from a shared counter (true stealing), quota statically at
+    ``pos + stride`` (lane i owns column i of the [n/w, w] pool grid),
+    so lanes only go DONE once their share of the pool is drained."""
     refill = s["mode"] == REFILL
     flushed = _sanitize(s["rad"], cfg)
     rad = jnp.where(refill[..., None], 0.0, s["rad"])
@@ -673,7 +684,30 @@ def _refill(s, cam, frame_seed, pixel_pool, width, height,
     exhausted = next_sample >= spp
     res = dict(s)
 
-    if n_items > 0:  # pool schedule
+    if n_items > 0 and cfg.scheduler == "quota":
+        pixel_done = refill & exhausted
+        # Lane positions are distinct columns of the pool grid for the
+        # whole frame, so every tick's flush can scatter at ``pos``
+        # with the uniqueness promise (serialization-free on TPU);
+        # non-refill lanes add exact 0.0 at their current position.
+        out = s["out"].at[s["pos"]].add(
+            jnp.where(refill[..., None], flushed, 0.0),
+            unique_indices=True, mode="promise_in_bounds")
+        newpos = s["pos"] + stride
+        have = pixel_done & (newpos < n_items)
+        pix = jnp.where(
+            have, pixel_pool[jnp.minimum(newpos, n_items - 1)], s["pix"])
+        new_sample = jnp.where(pixel_done, 0,
+                               jnp.where(refill, next_sample, s["sample"]))
+        start = refill & (~exhausted | have)
+        mode = jnp.where(refill, jnp.where(start, TRAVERSE, DONE),
+                         s["mode"])
+        res.update(
+            out=out,
+            pos=jnp.where(have, newpos, s["pos"]),
+            pix=pix,
+        )
+    elif n_items > 0:  # pool schedule
         acc = s["acc"] + jnp.where(refill[..., None], flushed, 0.0)
         pixel_done = refill & exhausted
         # Every lane's ``pos`` is a distinct pool position for the

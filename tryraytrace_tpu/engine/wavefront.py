@@ -307,7 +307,7 @@ def render_frame(scene, textures, cam, frame_seed, width: int, height: int,
         # chunks at pool_span (several pixels of work-stealing
         # headroom per lane, straggler tail paid once per span).
         mw = cfg.max_wave_lanes
-        if cfg.scheduler == "pool":
+        if cfg.scheduler in ("pool", "quota"):
             mw = cfg.pool_span
         if mw and n > mw:
             # Pad the pixel space so every chunk has the same static
