@@ -225,4 +225,236 @@ int64_t trt_bvh_build(const float* centroids, int64_t n,
     return m;
 }
 
+// ---------------------------------------------------------------------
+// Binned-SAH build with fat leaves: the production builder
+// (accel/bvh.py _build_sah), mirrored operation-for-operation so the
+// trees are bit-identical to the NumPy implementation (same float32
+// geometry arithmetic, same float64 cost comparisons under NumPy-2
+// promotion, same stable partition, same preorder flatten).
+// Replaces the recursive reference builder (bvh.cpp:47-113) the same
+// way the Python one does -- SAH split instead of median, leaves up to
+// leaf_size primitives for the fused-row traversal.
+// ---------------------------------------------------------------------
+
+namespace {
+
+struct SahTmp {             // temporary child-linked tree
+    std::vector<float> lo, hi;           // [m,3] each
+    std::vector<int32_t> left, right, axis;
+    std::vector<int64_t> start, count;   // count>0 => leaf
+};
+
+inline float half_area_f(const float* lo, const float* hi) {
+    float d0 = std::max(hi[0] - lo[0], 0.0f);
+    float d1 = std::max(hi[1] - lo[1], 0.0f);
+    float d2 = std::max(hi[2] - lo[2], 0.0f);
+    return d0 * d1 + d1 * d2 + d2 * d0;  // same op order as NumPy
+}
+
+struct SahCtx {
+    const float* cent;   // [n,3]
+    const float* pb;     // [n,6] (lo, hi)
+    std::vector<int64_t> order;
+    SahTmp t;
+    int64_t leaf_size;
+    int n_bins;
+    double c_trav, c_isect;
+};
+
+int32_t sah_rec(SahCtx& c, int64_t start, int64_t end) {
+    const int n_bins = c.n_bins;
+    int32_t idx = (int32_t)c.t.lo.size() / 3;
+    float lo[3] = {INFINITY, INFINITY, INFINITY};
+    float hi[3] = {-INFINITY, -INFINITY, -INFINITY};
+    for (int64_t i = start; i < end; i++) {
+        const float* b = c.pb + c.order[i] * 6;
+        for (int k = 0; k < 3; k++) {
+            lo[k] = std::min(lo[k], b[k]);
+            hi[k] = std::max(hi[k], b[3 + k]);
+        }
+    }
+    for (int k = 0; k < 3; k++) { c.t.lo.push_back(lo[k]); c.t.hi.push_back(hi[k]); }
+    c.t.left.push_back(-1);
+    c.t.right.push_back(-1);
+    c.t.axis.push_back(0);
+    c.t.start.push_back(start);
+    c.t.count.push_back(end - start);
+    const int64_t m = end - start;
+    if (m <= 1) return idx;
+
+    float clo[3] = {INFINITY, INFINITY, INFINITY};
+    float chi[3] = {-INFINITY, -INFINITY, -INFINITY};
+    for (int64_t i = start; i < end; i++) {
+        const float* p = c.cent + c.order[i] * 3;
+        for (int k = 0; k < 3; k++) {
+            clo[k] = std::min(clo[k], p[k]);
+            chi[k] = std::max(chi[k], p[k]);
+        }
+    }
+
+    bool have_best = false;
+    double best_cost = 0.0;
+    int best_ax = 0, best_split = 0;
+    std::vector<int32_t> bins(m), best_bins;
+    for (int ax = 0; ax < 3; ax++) {
+        float extent = chi[ax] - clo[ax];
+        if (!(extent > 0)) continue;  // NumPy: skip when extent <= 0
+        int64_t counts[64] = {0};
+        float blo[64][3], bhi[64][3];
+        for (int b = 0; b < n_bins; b++)
+            for (int k = 0; k < 3; k++) { blo[b][k] = INFINITY; bhi[b][k] = -INFINITY; }
+        for (int64_t i = 0; i < m; i++) {
+            const float* p = c.cent + c.order[start + i] * 3;
+            // float32 arithmetic then trunc-to-int, exactly as
+            // ((c - clo) / extent * n_bins).astype(int64)
+            float v = (p[ax] - clo[ax]) / extent * (float)n_bins;
+            int32_t b = (int32_t)v;
+            if (b > n_bins - 1) b = n_bins - 1;
+            bins[i] = b;
+            counts[b]++;
+            const float* pbq = c.pb + c.order[start + i] * 6;
+            for (int k = 0; k < 3; k++) {
+                blo[b][k] = std::min(blo[b][k], pbq[k]);
+                bhi[b][k] = std::max(bhi[b][k], pbq[3 + k]);
+            }
+        }
+        for (int split = 1; split < n_bins; split++) {
+            int64_t nl = 0;
+            for (int b = 0; b < split; b++) nl += counts[b];
+            int64_t nr = m - nl;
+            if (nl == 0 || nr == 0) continue;
+            float llo[3] = {INFINITY, INFINITY, INFINITY};
+            float lhi[3] = {-INFINITY, -INFINITY, -INFINITY};
+            float rlo[3] = {INFINITY, INFINITY, INFINITY};
+            float rhi[3] = {-INFINITY, -INFINITY, -INFINITY};
+            for (int b = 0; b < split; b++)
+                for (int k = 0; k < 3; k++) {
+                    llo[k] = std::min(llo[k], blo[b][k]);
+                    lhi[k] = std::max(lhi[k], bhi[b][k]);
+                }
+            for (int b = split; b < n_bins; b++)
+                for (int k = 0; k < 3; k++) {
+                    rlo[k] = std::min(rlo[k], blo[b][k]);
+                    rhi[k] = std::max(rhi[k], bhi[b][k]);
+                }
+            // NumPy-2: float32 half-areas promote with int64 counts to
+            // float64, so the comparison runs in double.
+            double cost = (double)half_area_f(llo, lhi) * (double)nl
+                        + (double)half_area_f(rlo, rhi) * (double)nr;
+            if (!have_best || cost < best_cost) {
+                have_best = true;
+                best_cost = cost;
+                best_ax = ax;
+                best_split = split;
+                best_bins = bins;
+            }
+        }
+    }
+
+    float parent_area = half_area_f(lo, hi);
+    double leaf_cost = c.c_isect * (double)m;
+    double split_cost = INFINITY;
+    if (have_best && parent_area > 0)
+        split_cost = c.c_trav + c.c_isect * best_cost / (double)parent_area;
+    if (m <= c.leaf_size && (!have_best || split_cost >= leaf_cost))
+        return idx;  // SAH says leaf (fits a fat-leaf row)
+
+    int64_t mid;
+    if (!have_best) {
+        mid = start + m / 2;  // all centroids identical: even split
+    } else {
+        c.t.axis[idx] = best_ax;
+        // Stable partition by bins < split, same as the boolean-mask
+        // indexing in NumPy (order preserved on both sides).
+        std::vector<int64_t> lseg, rseg;
+        lseg.reserve(m);
+        for (int64_t i = 0; i < m; i++)
+            (best_bins[i] < best_split ? lseg : rseg)
+                .push_back(c.order[start + i]);
+        if (lseg.empty() || rseg.empty()) {
+            mid = start + m / 2;  // degenerate: even split, no reorder
+        } else {
+            std::copy(lseg.begin(), lseg.end(), c.order.begin() + start);
+            std::copy(rseg.begin(), rseg.end(),
+                      c.order.begin() + start + (int64_t)lseg.size());
+            mid = start + (int64_t)lseg.size();
+        }
+    }
+    int32_t l = sah_rec(c, start, mid);
+    int32_t r = sah_rec(c, mid, end);
+    c.t.left[idx] = l;
+    c.t.right[idx] = r;
+    c.t.count[idx] = 0;
+    return idx;
+}
+
+int64_t subtree_size(const SahTmp& t, int32_t tid) {
+    // Iterative subtree node count (matches accel/bvh.py _subtree_size).
+    int64_t total = 0;
+    std::vector<int32_t> st{tid};
+    while (!st.empty()) {
+        int32_t x = st.back();
+        st.pop_back();
+        total++;
+        if (t.count[x] == 0) { st.push_back(t.left[x]); st.push_back(t.right[x]); }
+    }
+    return total;
+}
+
+}  // namespace
+
+int64_t trt_bvh_build_sah(const float* centroids, int64_t n,
+                          const float* prim_bounds, int64_t leaf_size,
+                          int32_t n_bins, double c_trav, double c_isect,
+                          int32_t* perm, float* node_bounds,
+                          int32_t* leaf_prim, int32_t* leaf_count,
+                          int32_t* miss, int32_t* left_out,
+                          int32_t* right_out, int32_t* axis_out) {
+    if (n <= 0 || n_bins < 2 || n_bins > 64) return 0;
+    SahCtx c;
+    c.cent = centroids;
+    c.pb = prim_bounds;
+    c.order.resize(n);
+    std::iota(c.order.begin(), c.order.end(), (int64_t)0);
+    c.leaf_size = leaf_size;
+    c.n_bins = n_bins;
+    c.c_trav = c_trav;
+    c.c_isect = c_isect;
+    sah_rec(c, 0, n);
+
+    // Preorder flatten with miss links (same as the Python flatten).
+    const int64_t mm = (int64_t)c.t.start.size();
+    struct FFrame { int32_t tid; int32_t miss_link; };
+    std::vector<FFrame> st;
+    st.push_back({0, (int32_t)mm});
+    int64_t next_node = 0;
+    while (!st.empty()) {
+        FFrame fr = st.back();
+        st.pop_back();
+        int64_t nid = next_node++;
+        for (int k = 0; k < 3; k++) {
+            node_bounds[nid * 6 + k] = c.t.lo[fr.tid * 3 + k];
+            node_bounds[nid * 6 + 3 + k] = c.t.hi[fr.tid * 3 + k];
+        }
+        miss[nid] = fr.miss_link;
+        axis_out[nid] = c.t.axis[fr.tid];
+        if (c.t.count[fr.tid] > 0) {
+            leaf_prim[nid] = (int32_t)c.t.start[fr.tid];
+            leaf_count[nid] = (int32_t)c.t.count[fr.tid];
+            left_out[nid] = -1;
+            right_out[nid] = -1;
+            continue;
+        }
+        leaf_prim[nid] = -1;
+        leaf_count[nid] = 0;
+        int64_t lsize = subtree_size(c.t, c.t.left[fr.tid]);
+        left_out[nid] = (int32_t)(nid + 1);
+        right_out[nid] = (int32_t)(nid + 1 + lsize);
+        st.push_back({c.t.right[fr.tid], fr.miss_link});
+        st.push_back({c.t.left[fr.tid], (int32_t)(nid + 1 + lsize)});
+    }
+    for (int64_t i = 0; i < n; i++) perm[i] = (int32_t)c.order[i];
+    return mm;
+}
+
 }  // extern "C"

@@ -100,3 +100,55 @@ def test_build_bvh_uses_native_transparently():
     np.testing.assert_array_equal(a.miss, b.miss)
     np.testing.assert_array_equal(a.axis, b.axis)
     np.testing.assert_allclose(a.bounds, b.bounds)
+
+
+def test_bvh_build_sah_matches_python():
+    # The native binned-SAH fat-leaf builder (the PRODUCTION build
+    # path) must be bit-identical to the NumPy one: same float32
+    # geometry arithmetic (-ffp-contract=off), same float64 cost
+    # comparisons, same stable partition and preorder flatten.
+    from tryraytrace_tpu.accel.bvh import (_build_sah, centroids,
+                                           primitive_bounds)
+
+    r = np.random.RandomState(7)
+    cases = []
+    for n in (1, 2, 9, 257, 1000):
+        base = r.uniform(-10, 10, size=(n, 1, 3)).astype(np.float32)
+        cases.append(base + r.uniform(-1, 1, size=(n, 3, 3))
+                     .astype(np.float32))
+    # Degenerate: identical centroids force the even-split fallback.
+    cases.append(np.tile(np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]],
+                                  np.float32), (64, 1, 1)))
+    for tri in cases:
+        v0, v1, v2 = tri[:, 0].copy(), tri[:, 1].copy(), tri[:, 2].copy()
+        pb = primitive_bounds(v0, v1, v2)
+        cent = centroids(v0, v1, v2)
+        py = _build_sah(pb, cent, 8)
+        res = native.bvh_build_sah(cent, pb, 8)
+        assert res is not None
+        perm, bounds, lp, lc, miss, left, right, axis, m = res
+        assert m == py.num_nodes
+        np.testing.assert_array_equal(perm, py.perm)
+        np.testing.assert_array_equal(bounds, py.bounds)
+        np.testing.assert_array_equal(lp, py.leaf_prim)
+        np.testing.assert_array_equal(lc, py.leaf_count)
+        np.testing.assert_array_equal(miss, py.miss)
+        np.testing.assert_array_equal(left, py.left)
+        np.testing.assert_array_equal(right, py.right)
+        np.testing.assert_array_equal(axis, py.axis)
+
+
+def test_build_bvh_sah_uses_native_transparently():
+    from tryraytrace_tpu.accel.bvh import build_bvh
+
+    r = np.random.RandomState(3)
+    base = r.uniform(-5, 5, size=(200, 1, 3)).astype(np.float32)
+    tri = base + r.uniform(-1, 1, size=(200, 3, 3)).astype(np.float32)
+    a = build_bvh(tri[:, 0], tri[:, 1], tri[:, 2], use_native=True,
+                  leaf_size=8, method="sah")
+    b = build_bvh(tri[:, 0], tri[:, 1], tri[:, 2], use_native=False,
+                  leaf_size=8, method="sah")
+    np.testing.assert_array_equal(a.perm, b.perm)
+    np.testing.assert_array_equal(a.miss, b.miss)
+    np.testing.assert_array_equal(a.leaf_count, b.leaf_count)
+    np.testing.assert_array_equal(a.bounds, b.bounds)

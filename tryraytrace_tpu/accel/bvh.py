@@ -123,6 +123,16 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     cent = centroids(v0, v1, v2)
 
     if method == "sah":
+        if use_native:
+            from tryraytrace_tpu import native
+
+            if native.available():
+                res = native.bvh_build_sah(cent, pb, leaf_size)
+                if res is not None:
+                    (perm, bounds, leaf_prim, leaf_count, miss, left,
+                     right, axis, _) = res
+                    return LinearBVH(bounds, leaf_prim, leaf_count,
+                                     miss, left, right, axis, perm)
         return _build_sah(pb, cent, leaf_size)
     if method == "sbvh":
         return _build_sbvh(pb, v0, v1, v2, leaf_size)

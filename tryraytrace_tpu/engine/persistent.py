@@ -168,6 +168,7 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
             )
     if with_debug:
         st.update(dbg_visits=jnp.float32(0), dbg_ticks=jnp.float32(0),
+                  dbg_shadow_visits=jnp.float32(0),
                   dbg_lane_steps=jnp.float32(0),
                   # Per-body mode split over ALL contexts (so dual
                   # counts both walks): done vs waiting-for-tick.
@@ -223,6 +224,9 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
                     act = (s["mode"] == TRAVERSE) | (s["mode"] == SHADOW)
                     s["dbg_visits"] = (s["dbg_visits"]
                                        + act.sum().astype(jnp.float32))
+                    s["dbg_shadow_visits"] = (
+                        s["dbg_shadow_visits"]
+                        + (s["mode"] == SHADOW).sum().astype(jnp.float32))
                     s["dbg_lane_steps"] = (s["dbg_lane_steps"]
                                            + jnp.float32(act.shape[0]))
                 s = step_fn(s, table, sentinel, k, col_ps)
@@ -335,8 +339,9 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
         final["n_shadow"] = small["n_shadow"]
         final["it"] = small["it"]
         if with_debug:
-            for kk in ("dbg_visits", "dbg_ticks", "dbg_lane_steps",
-                       "dbg_ctx_done", "dbg_ctx_wait", "dbg_ctx_steps"):
+            for kk in ("dbg_visits", "dbg_ticks", "dbg_shadow_visits",
+                       "dbg_lane_steps", "dbg_ctx_done", "dbg_ctx_wait",
+                       "dbg_ctx_steps"):
                 final[kk] = small[kk]
     else:
         final = unpack(jax.lax.while_loop(small_cond, body, pack(final)))
@@ -344,6 +349,7 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     if with_debug:
         dbg = dict(bodies=final["it"], ticks=final["dbg_ticks"],
                    visits=final["dbg_visits"],
+                   shadow_visits=final["dbg_shadow_visits"],
                    lane_steps=final["dbg_lane_steps"],
                    ctx_done=final["dbg_ctx_done"],
                    ctx_wait=final["dbg_ctx_wait"],

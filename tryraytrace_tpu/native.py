@@ -69,6 +69,17 @@ def _configure(lib) -> None:
         i32p,                      # out perm [n]
         f32p, i32p, i32p, i32p,    # out node bounds [2n,6], leaf_prim, miss, depth-ish
     ]
+    if hasattr(lib, "trt_bvh_build_sah"):
+        lib.trt_bvh_build_sah.restype = ctypes.c_int64
+        lib.trt_bvh_build_sah.argtypes = [
+            f32p, ctypes.c_int64,          # centroids [n,3], n
+            f32p,                          # prim bounds [n,6]
+            ctypes.c_int64, ctypes.c_int32,  # leaf_size, n_bins
+            ctypes.c_double, ctypes.c_double,  # c_trav, c_isect
+            i32p,                          # out perm [n]
+            f32p, i32p, i32p, i32p,        # bounds, leaf_prim, leaf_count, miss
+            i32p, i32p, i32p,              # left, right, axis
+        ]
 
 
 def available() -> bool:
@@ -143,6 +154,41 @@ def tonemap_argb(accum: np.ndarray, frame: int) -> np.ndarray | None:
         n, ctypes.c_float(1.0 / max(frame, 1)),
     )
     return out
+
+
+def bvh_build_sah(centroids: np.ndarray, prim_bounds: np.ndarray,
+                  leaf_size: int, n_bins: int = 16, c_trav: float = 1.0,
+                  c_isect: float = 0.4):
+    """Native binned-SAH fat-leaf build, bit-identical to the NumPy
+    builder (accel/bvh.py _build_sah); returns
+    (perm, bounds, leaf_prim, leaf_count, miss, left, right, axis,
+    n_nodes) or None."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "trt_bvh_build_sah"):
+        return None
+    n = centroids.shape[0]
+    cap = max(2 * n - 1, 1)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    perm = np.empty(n, dtype=np.int32)
+    bounds = np.empty((cap, 6), dtype=np.float32)
+    outs = [np.empty(cap, dtype=np.int32) for _ in range(6)]
+    leaf_prim, leaf_count, miss, left, right, axis = outs
+    n_nodes = lib.trt_bvh_build_sah(
+        np.ascontiguousarray(centroids, np.float32).ctypes.data_as(f32p),
+        n,
+        np.ascontiguousarray(prim_bounds, np.float32).ctypes.data_as(f32p),
+        leaf_size, n_bins,
+        ctypes.c_double(c_trav), ctypes.c_double(c_isect),
+        perm.ctypes.data_as(i32p),
+        bounds.ctypes.data_as(f32p),
+        *(a.ctypes.data_as(i32p) for a in outs),
+    )
+    if n_nodes <= 0:
+        return None
+    return (perm, bounds[:n_nodes], leaf_prim[:n_nodes],
+            leaf_count[:n_nodes], miss[:n_nodes], left[:n_nodes],
+            right[:n_nodes], axis[:n_nodes], int(n_nodes))
 
 
 def bvh_build(centroids: np.ndarray, prim_bounds: np.ndarray):
