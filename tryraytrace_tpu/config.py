@@ -133,10 +133,15 @@ class RenderConfig:
     # giving each lane 4 pixels of stealing headroom.  Exact for any
     # value (RNG streams and per-pixel sums are absolute).
     pool_span: int = 262144
-    # Tail spill: once fewer than ~1/32 of lanes remain live, compact
-    # the survivors into a 1/16-width continuation wave (exact lane
-    # permutation; identical images).  See docs/PERFORMANCE.md.
+    # Staged tail spill: compact live lanes down a geometric ladder of
+    # wave widths (w/2, w/4, ... spill_stages halvings, floor 64) as
+    # the wave drains, so lane occupancy stays > 1/2 per stage instead
+    # of paying full-width iterations for a near-empty wave (60% of
+    # headline lane-steps were DONE-idle with the single w/16 spill).
+    # Exact lane permutations; identical images.  Each stage compiles
+    # its own loop body (compile time grows with stages).
     tail_spill: bool = True
+    spill_stages: int = 4
     # Cap on persistent-wave width: frames with more pixels render in
     # sequential pixel chunks of at most this many lanes (0 = one
     # wave).  RNG streams are absolute, so chunking never changes the

@@ -199,13 +199,22 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     pack = lambda dd: tuple(dd[kk] for kk in keys)
     unpack = lambda tt: dict(zip(keys, tt))
 
-    # Tail spill (docs/PERFORMANCE.md): the main wave exits once fewer
-    # than 1/32 of lanes remain (every iteration still costs the full
-    # width); the survivors are compacted -- inside the same jit, an
-    # exact permutation of independent lanes -- into a 1/16-width
-    # continuation wave that runs to completion.
-    spill_width = max(min(w, 64), w // 16)
-    exit_threshold = spill_width // 2
+    # Staged tail spill (docs/PERFORMANCE.md): every iteration costs
+    # the full wave width, so as lanes retire the wave is *compacted*
+    # -- an exact permutation of independent lanes, inside the same
+    # jit -- down a geometric ladder of widths w/2, w/4, ... (up to
+    # ``spill_stages`` halvings, floor 64 lanes).  A stage exits as
+    # soon as the live lanes fit the next width, so lane occupancy
+    # stays > 1/2 in every stage instead of draining the full wave to
+    # near-empty (measured 60% of lane-steps idle in DONE without it).
+    floor_w = min(w, 64)
+    spill_widths: list[int] = []
+    if cfg.tail_spill:
+        for si in range(1, max(1, cfg.spill_stages) + 1):
+            sw = max(w >> si, floor_w)
+            if sw >= w or (spill_widths and sw >= spill_widths[-1]):
+                break
+            spill_widths.append(sw)
 
     step_unroll = max(1, cfg.step_unroll)
 
@@ -306,45 +315,44 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
 
         return body
 
-    def main_cond(carry):
-        s = unpack(carry)
-        return jnp.any(~lane_done(s)) & (s["cnt"] > exit_threshold)
-
-    body = make_body()
-    final = unpack(jax.lax.while_loop(main_cond, body, pack(st)))
-
-    def small_cond(carry):
+    def done_cond(carry):
         return jnp.any(~lane_done(unpack(carry)))
 
-    if cfg.tail_spill and spill_width < w:
-        # Compact the unfinished lanes (plus done fillers) to the front.
-        # ``out`` is per-pixel, not per-lane, in pool mode: it stays
-        # full-width and the spill wave keeps scattering into it.
-        sel = jnp.argsort(lane_done(final))[:spill_width]
-        lane_keys = [kk for kk in keys
-                     if getattr(final[kk], "ndim", 0) >= 1
-                     and (kk != "out" or not pool)]
-        small = dict(final)
-        for kk in lane_keys:
-            small[kk] = final[kk][sel]
+    def stage_cond(next_w):
+        # Live-lane count (cnt, exact after every tick -- lanes only
+        # retire at ticks) still exceeds the next stage's width.
+        def cond(carry):
+            s = unpack(carry)
+            return jnp.any(~lane_done(s)) & (s["cnt"] > next_w)
+        return cond
 
-        small = unpack(jax.lax.while_loop(small_cond, body, pack(small)))
-        if pool:
-            final["out"] = small["out"]
-            if cfg.scheduler == "pool":
-                final["pool_next"] = small["pool_next"]
-        else:
-            final["out"] = final["out"].at[sel].set(small["out"])
-        final["n_traced"] = small["n_traced"]
-        final["n_shadow"] = small["n_shadow"]
-        final["it"] = small["it"]
-        if with_debug:
-            for kk in ("dbg_visits", "dbg_ticks", "dbg_shadow_visits",
-                       "dbg_lane_steps", "dbg_ctx_done", "dbg_ctx_wait",
-                       "dbg_ctx_steps"):
-                final[kk] = small[kk]
-    else:
-        final = unpack(jax.lax.while_loop(small_cond, body, pack(final)))
+    body = make_body()
+    lane_keys = [kk for kk in keys
+                 if getattr(st[kk], "ndim", 0) >= 1
+                 and (kk != "out" or not pool)]
+
+    cur = st
+    folds = []  # (pre-compaction state dict, sel) per stage
+    for si, sw in enumerate(spill_widths):
+        cur = unpack(jax.lax.while_loop(stage_cond(sw), body, pack(cur)))
+        # Compact the unfinished lanes (plus done fillers) to the
+        # front.  ``out`` is per-pixel, not per-lane, in pool/quota
+        # mode: it stays full-width and keeps being scattered into.
+        sel = jnp.argsort(lane_done(cur))[:sw]
+        small = dict(cur)
+        for kk in lane_keys:
+            small[kk] = cur[kk][sel]
+        folds.append((cur, sel))
+        cur = small
+    final = unpack(jax.lax.while_loop(done_cond, body, pack(cur)))
+
+    if folds and not pool:
+        # Fold the per-lane radiance back out through the compaction
+        # chain (pool/quota ``out`` is already full-width).
+        out = final["out"]
+        for prev, sel in reversed(folds):
+            out = prev["out"].at[sel].set(out)
+        final["out"] = out
 
     if with_debug:
         dbg = dict(bodies=final["it"], ticks=final["dbg_ticks"],
