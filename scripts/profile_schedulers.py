@@ -43,12 +43,15 @@ cam = CameraController().get_params(w, h)
 
 from tryraytrace_tpu.engine.persistent import render_frame_persistent
 
+DBG_KEYS = ("visits", "shadow_visits", "lane_steps", "ticks", "bodies")
+
+@jax.jit
 def frame(seed):
-    # Mirror render_frame's chunking (wavefront.py) but with debug on.
+    # Mirror render_frame's chunking (wavefront.py) inside ONE jit --
+    # the same program shape bench.py measures -- with debug counters.
     n = w * h
     mw = cfg.pool_span if sched in ("pool", "quota") else cfg.max_wave_lanes
-    tot = {k: 0.0 for k in ("visits", "shadow_visits", "lane_steps",
-                            "ticks", "bodies")}
+    tot = {k: jnp.float32(0) for k in DBG_KEYS}
     outs = []
     for c0 in range(0, n, mw):
         idx = jnp.arange(c0, min(c0 + mw, n), dtype=jnp.int32)
@@ -57,7 +60,7 @@ def frame(seed):
             pixel_idx=idx, with_debug=True)
         outs.append(out)
         for k in tot:
-            tot[k] += float(dbg[k])
+            tot[k] = tot[k] + jnp.asarray(dbg[k], jnp.float32)
     return jnp.concatenate(outs), tot
 
 t0 = time.time()
@@ -68,6 +71,7 @@ t0 = time.time()
 out, tot = frame(2)
 out.block_until_ready()
 ms = (time.time() - t0) * 1e3
+tot = {k: float(v) for k, v in tot.items()}
 print(json.dumps({
     "scheduler": sched, "ms": round(ms, 1), "compile_s": round(compile_s, 1),
     **{k: tot[k] for k in tot},

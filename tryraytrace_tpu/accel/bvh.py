@@ -881,9 +881,10 @@ def pack_fatnode_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
     return table
 
 
-# Packed hit-data row layout (float32[24]): everything shading needs
-# about the hit primitive in one gather.
-TRIMAT_WIDTH = 24
+# Packed hit-data row layout (float32[30]): everything shading needs
+# about the hit primitive in one gather (rows are free to >= 112
+# floats on v5e, docs/PERFORMANCE.md).
+TRIMAT_WIDTH = 30
 TM_TRI = slice(0, 9)          # v0 v1 v2
 TM_ALBEDO = slice(9, 12)
 TM_EMISSION = slice(12, 15)
@@ -893,10 +894,12 @@ TM_IOR = 17
 TM_TRANSMISSION = 18
 TM_TEX_ID = 19
 TM_AREA = 20                  # precomputed triangle area (NEE pdf)
+TM_NRM = slice(21, 30)        # per-corner vertex normals (n0 n1 n2;
+                              # all-zero = none -> geometric normal)
 
 
 def pack_trimat_table(arrays) -> np.ndarray:
-    """Fused triangle+material rows float32[T, 24] (BVH prim order)."""
+    """Fused triangle+material rows float32[T, 30] (BVH prim order)."""
     t = arrays.tri_v0.shape[0]
     out = np.zeros((t, TRIMAT_WIDTH), np.float32)
     out[:, TM_TRI] = np.concatenate(
@@ -912,6 +915,9 @@ def pack_trimat_table(arrays) -> np.ndarray:
     e2 = arrays.tri_v2 - arrays.tri_v0
     cr = np.cross(e1, e2)
     out[:, TM_AREA] = 0.5 * np.sqrt((cr * cr).sum(-1))
+    if getattr(arrays, "nrm0", None) is not None:
+        out[:, TM_NRM] = np.concatenate(
+            [arrays.nrm0, arrays.nrm1, arrays.nrm2], axis=-1)
     return out
 
 

@@ -62,6 +62,14 @@ class RenderConfig:
     # Behavior flags (quirk gates; default = reference behavior).
     clamp_fireflies: bool = True
     nee_dist_floor_enabled: bool = True
+    # Smooth shading (beyond-reference feature, default OFF = exact
+    # reference behavior): interpolate area-weighted vertex normals
+    # (computed by the loader; the reference has none) at the hit via
+    # barycentrics and use them for all shading directions.  Ray-
+    # offset origins keep the geometric normal (self-intersection
+    # robustness).  Triangles without normals (walls) fall back to the
+    # geometric face normal.  Identical across engines + oracle.
+    smooth_shading: bool = False
 
     # Engine selection: "persistent" (lane state machine, no per-bounce
     # lockstep barriers -- engine/persistent.py) or "bounce"
@@ -69,10 +77,14 @@ class RenderConfig:
     # results; persistent is the fast path on TPU.
     engine: str = "persistent"
     # Shading cadence for the persistent engine: shade READY lanes
-    # every this many traversal steps (amortizes the shading gathers;
-    # any value gives identical images).  With the retuned SAH,
-    # (unroll 4, cadence 4) and (4, 2) measured best on v5e.
-    shade_every: int = 4
+    # every this many loop iterations (amortizes the shading gathers;
+    # any value gives identical images).  Under the staged spill
+    # ladder, (unroll 4, cadence 2) = one tick per 8 steps measured
+    # best on v5e: 14.38 vs 13.61 Mrays/s at cadence 4 -- once DONE
+    # idle is compacted away, tick-wait is the binding idle and a
+    # tighter cadence pays; (2, 2) = tick per 4 steps over-ticks
+    # (12.46).
+    shade_every: int = 2
     # Traversal scheme for the persistent engine: "fatnode" fetches
     # both child boxes at the parent (front-to-back by true entry
     # distance, register short-stack; ~0.5x the row fetches) or
@@ -140,6 +152,9 @@ class RenderConfig:
     # headline lane-steps were DONE-idle with the single w/16 spill).
     # Exact lane permutations; identical images.  Each stage compiles
     # its own loop body (compile time grows with stages).
+    # Measured on v5e (headline): stages 4 = +24% (13.61 vs 11.01
+    # Mrays/s); stages 6 (widths below 4096 lanes) collapses to 2.2 --
+    # don't go past 4 at the default 65k wave.
     tail_spill: bool = True
     spill_stages: int = 4
     # Cap on persistent-wave width: frames with more pixels render in

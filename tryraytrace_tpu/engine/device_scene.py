@@ -50,6 +50,12 @@ class DeviceScene:
     fatnode_table: jax.Array   # [M, 2+max(14,9K)] fat-node traversal rows
     trimat: jax.Array          # [T, 24] fused triangle+material rows
     num_lights: int = dataclasses.field(metadata=dict(static=True))
+    # Static: any nonzero vertex normals in the scene?  When False the
+    # engines skip the smooth-shading block entirely, so the compiled
+    # program (and therefore the image, bit-for-bit) is identical with
+    # the flag on or off for normal-less scenes.
+    has_normals: bool = dataclasses.field(metadata=dict(static=True),
+                                          default=False)
     leaf_size: int = dataclasses.field(metadata=dict(static=True), default=8)
     # Tree depth (static): sizes the fat-node register stack exactly --
     # stack traffic scales with depth, so tighter is faster.
@@ -100,6 +106,11 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
         transmission=put(ordered.transmission),
         tex_id=put(ordered.tex_id),
         light_indices=put(light_idx),
+        has_normals=bool(
+            ordered.nrm0 is not None
+            and (np.abs(ordered.nrm0).max(initial=0.0) > 0
+                 or np.abs(ordered.nrm1).max(initial=0.0) > 0
+                 or np.abs(ordered.nrm2).max(initial=0.0) > 0)),
         bvh_bounds=put(bvh.bounds),
         bvh_leaf_prim=put(bvh.leaf_prim),
         bvh_miss=put(bvh.miss),

@@ -537,6 +537,16 @@ def _shade_ready(s, scene, textures, cfg: RenderConfig):
             jnp.float32(cfg.tex_planar_scale))
         albedo = albedo * factor
 
+    # Ray-offset origins always use the geometric front-face normal
+    # (self-intersection robustness); with smooth shading on, every
+    # shading *direction* below uses the interpolated normal instead.
+    nl_off = nl
+    if cfg.smooth_shading and scene.has_normals:
+        nrm = shade.smooth_normal(v0, v1, v2, hitrow[:, 21:24],
+                                  hitrow[:, 24:27], hitrow[:, 27:30],
+                                  x_hit, nrm)
+        nl = jnp.where((vec.dot(nrm, d, jnp) < 0.0)[..., None], nrm, -nrm)
+
     rad = rad + jnp.where((alive & s["prev_spec"])[..., None],
                           tp * emission, 0.0)
     is_emitter = (emission > cfg.emitter_stop_threshold).any(axis=-1)
@@ -567,7 +577,7 @@ def _shade_ready(s, scene, textures, cfg: RenderConfig):
     d_spec = shade.rough_perturb(perfect, roughness, u_d1, u_d2)
     kill_spec = vec.dot(d_spec, nl, jnp) <= 0.0
     tp_spec = tp * fres * (1.0 / p_spec)[..., None]
-    o_spec = x_hit + nl * np.float32(cfg.shadow_eps)
+    o_spec = x_hit + nl_off * np.float32(cfg.shadow_eps)
 
     # Branch B: transmission (renderer.cu:592-648).
     d_trans, _ = shade.refract_branch(d, nrm, nl, ior, roughness, u_d1, u_d2)
@@ -622,7 +632,8 @@ def _shade_ready(s, scene, textures, cfg: RenderConfig):
         has_shadow = geo_ok
         g3 = geo_ok[..., None]
         pend = jnp.where(g3, tp * contrib, pend)
-        so = jnp.where(g3, x_hit + nl * np.float32(cfg.shadow_eps), so)
+        so = jnp.where(g3, x_hit + nl_off * np.float32(cfg.shadow_eps),
+                       so)
         sd = jnp.where(g3, l_dir, sd)
         smax = jnp.where(geo_ok,
                          dist - np.float32(cfg.shadow_max_dist_eps), smax)
@@ -631,7 +642,7 @@ def _shade_ready(s, scene, textures, cfg: RenderConfig):
     p_diff = 1.0 - p_spec - (1.0 - p_spec) * transmission
     tp_diff = (tp * (albedo * (1.0 - metallic)[..., None])
                * (1.0 / p_diff)[..., None])
-    o_diff = x_hit + nl * np.float32(cfg.shadow_eps)
+    o_diff = x_hit + nl_off * np.float32(cfg.shadow_eps)
 
     ms3, mt3, md3 = m_spec[..., None], m_trans[..., None], m_diff[..., None]
     new_d = jnp.where(ms3, d_spec, jnp.where(mt3, d_trans, d_diff))

@@ -133,6 +133,16 @@ def _bounce(scene, textures, seed, pixel_idx, depth,
         )
         albedo = albedo * factor
 
+    # Ray-offset origins keep the geometric front-face normal; smooth
+    # shading swaps the interpolated vertex normal into every shading
+    # direction (see RenderConfig.smooth_shading).
+    nl_off = nl
+    if cfg.smooth_shading and scene.has_normals:
+        nrm = shade.smooth_normal(v0, v1, v2, hitrow[:, 21:24],
+                                  hitrow[:, 24:27], hitrow[:, 27:30],
+                                  x_hit, nrm)
+        nl = jnp.where((vec.dot(nrm, d, jnp) < 0.0)[..., None], nrm, -nrm)
+
     # Emission accounting (renderer.cu:486-499): add only when the
     # previous bounce was specular/refractive (NEE double-count guard);
     # any emitter terminates the path.
@@ -172,7 +182,7 @@ def _bounce(scene, textures, seed, pixel_idx, depth,
     # probability on a *selected* lane yields inf and the sample is
     # dropped by the NaN/Inf filter; unselected lanes are discarded.
     tp_spec = tp * fres * (1.0 / p_spec)[..., None]
-    o_spec = x_hit + nl * np.float32(cfg.shadow_eps)
+    o_spec = x_hit + nl_off * np.float32(cfg.shadow_eps)
 
     # --- Branch B: transmission (renderer.cu:592-648) ---
     d_trans, _tir = shade.refract_branch(d, nrm, nl, ior, roughness, u_d1, u_d2)
@@ -188,13 +198,14 @@ def _bounce(scene, textures, seed, pixel_idx, depth,
     n_shadow = jnp.zeros((), jnp.float32)
     if scene.num_lights > 0:
         nee_rad, n_shadow = _nee_contribution(
-            scene, seed, pixel_idx, base, x_hit, nl, albedo, tp, m_diff, cfg)
+            scene, seed, pixel_idx, base, x_hit, nl, albedo, tp, m_diff,
+            cfg, nl_off=nl_off)
         rad = rad + nee_rad
     d_diff = shade.cosine_hemisphere(nl, u_d1, u_d2)
     p_diff = 1.0 - p_spec - (1.0 - p_spec) * transmission  # renderer.cu:727
     tp_diff = (tp * (albedo * (1.0 - metallic)[..., None])
                * (1.0 / p_diff)[..., None])  # unguarded, renderer.cu:728
-    o_diff = x_hit + nl * np.float32(cfg.shadow_eps)
+    o_diff = x_hit + nl_off * np.float32(cfg.shadow_eps)
 
     # --- Select ---
     m_spec3 = m_spec[..., None]
@@ -212,7 +223,7 @@ def _bounce(scene, textures, seed, pixel_idx, depth,
 
 
 def _nee_contribution(scene, seed, pixel_idx, base, x_hit, nl, albedo, tp,
-                      m_diff, cfg: RenderConfig):
+                      m_diff, cfg: RenderConfig, nl_off=None):
     """Next-event estimation for diffuse lanes (renderer.cu:657-711).
 
     Shadow rays form their own any-hit wave.  Preserved quirks: the
@@ -245,7 +256,8 @@ def _nee_contribution(scene, seed, pixel_idx, base, x_hit, nl, albedo, tp,
     cos_light = -vec.dot(light_n, l_dir, jnp)
     geo_ok = m_diff & (cos_theta > 0.0) & (cos_light > 0.0)
 
-    shadow_o = x_hit + nl * np.float32(cfg.shadow_eps)
+    shadow_o = x_hit + (nl if nl_off is None else nl_off) \
+        * np.float32(cfg.shadow_eps)
     occluded = any_hit_packed(
         scene.node_table, scene.leaf_size, shadow_o, l_dir,
         dist - np.float32(cfg.shadow_max_dist_eps), geo_ok,

@@ -186,6 +186,18 @@ def _oracle_sample(ar, cam, width, height, seed, cfg, textures):
                 if mask.any():
                     albedo[mask] *= _bilinear_wrap(tex, uu[mask], vv[mask])
 
+        # Smooth shading (flag-gated, mirrors both engines): ray
+        # offsets keep the geometric front-face normal; directions use
+        # the interpolated vertex normal.
+        nl_off = nl
+        if cfg.smooth_shading and ar.nrm0 is not None:
+            from tryraytrace_tpu.ops import shade as _shade
+
+            nrm = _shade.smooth_normal(v0[sid], v1[sid], v2[sid],
+                                       ar.nrm0[sid], ar.nrm1[sid],
+                                       ar.nrm2[sid], x_hit, nrm, xp=np)
+            nl = np.where((_dot(nrm, d) < 0)[:, None], nrm, -nrm)
+
         rad = rad + np.where((alive & prev_spec)[:, None], tp * emission, 0)
         is_emitter = (emission > cfg.emitter_stop_threshold).any(axis=-1)
         alive = alive & ~is_emitter
@@ -229,7 +241,7 @@ def _oracle_sample(ar, cam, width, height, seed, cfg, textures):
             d_spec = _norm(perfect + sphere * roughness[:, None])
             kill_spec = _dot(d_spec, nl) <= 0
             tp_spec = tp * fres / p_spec[:, None]
-            o_spec = x_hit + nl * F32(cfg.shadow_eps)
+            o_spec = x_hit + nl_off * F32(cfg.shadow_eps)
 
             # Branch B: transmission.
             into = _dot(nrm, nl) > 0
@@ -271,7 +283,8 @@ def _oracle_sample(ar, cam, width, height, seed, cfg, textures):
                 light_n = _norm(_cross(lv1 - lv0, lv2 - lv0))
                 cos_l = -_dot(light_n, l_dir)
                 geo = m_diff & (cos_t > 0) & (cos_l > 0)
-                occ = _occluded_brute(v0, v1, v2, x_hit + nl * F32(cfg.shadow_eps),
+                occ = _occluded_brute(v0, v1, v2,
+                                      x_hit + nl_off * F32(cfg.shadow_eps),
                                       l_dir, dist - F32(cfg.shadow_max_dist_eps), geo)
                 lit = geo & ~occ
                 area = 0.5 * np.sqrt((_cross(lv1 - lv0, lv2 - lv0) ** 2).sum(-1))
@@ -294,7 +307,7 @@ def _oracle_sample(ar, cam, width, height, seed, cfg, textures):
                            + w * np.sqrt(np.maximum(1.0 - r2h, 0.0))[:, None])
             p_diff = 1.0 - p_spec - (1.0 - p_spec) * transmission
             tp_diff = tp * (albedo * (1.0 - metallic)[:, None]) / p_diff[:, None]
-            o_diff = x_hit + nl * F32(cfg.shadow_eps)
+            o_diff = x_hit + nl_off * F32(cfg.shadow_eps)
 
             # --- select ---
             ms, mt, md = m_spec[:, None], m_trans[:, None], m_diff[:, None]

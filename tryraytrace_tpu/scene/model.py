@@ -39,6 +39,12 @@ class Object:
     ior: float = 0.0
     transmission: float = 0.0
     tex_id: int = -1
+    # Optional per-corner vertex normals (smooth shading; the reference
+    # has no normals at all).  (0,0,0) = none; the shader then uses the
+    # geometric face normal.
+    n0: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    n1: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    n2: tuple[float, float, float] = (0.0, 0.0, 0.0)
 
 
 @dataclasses.dataclass
@@ -81,6 +87,11 @@ class SceneArrays:
     tex_id: np.ndarray      # [N] i32 (-1 = untextured)
     light_indices: np.ndarray  # [L] i32
     textures: tuple = ()    # tuple of [H, W, 3] f32 arrays in [0, 1]
+    # Per-corner vertex normals [N, 3] each; all-zero rows = no normal
+    # (shader falls back to the geometric face normal).
+    nrm0: np.ndarray | None = None
+    nrm1: np.ndarray | None = None
+    nrm2: np.ndarray | None = None
 
     @property
     def num_objects(self) -> int:
@@ -116,6 +127,9 @@ class SceneArrays:
             tex_id=self.tex_id[perm],
             light_indices=inv[self.light_indices].astype(np.int32),
             textures=self.textures,
+            nrm0=None if self.nrm0 is None else self.nrm0[perm],
+            nrm1=None if self.nrm1 is None else self.nrm1[perm],
+            nrm2=None if self.nrm2 is None else self.nrm2[perm],
         )
 
 
@@ -165,6 +179,9 @@ def flatten_scene(
         tex_id=fscalar("tex_id", np.int32),
         light_indices=scan_lights(emission, light_scan_threshold),
         textures=tuple(textures),
+        nrm0=fvec("n0"),
+        nrm1=fvec("n1"),
+        nrm2=fvec("n2"),
     )
 
 

@@ -115,6 +115,29 @@ def _pure_int(tok: str):
     return value if end == len(tok) else None
 
 
+def compute_vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals [V, 3] from mesh connectivity.
+
+    The reference loader drops normals entirely (loader.cpp parses only
+    ``v``/``f`` lines -- and none of the reference assets carry ``vn``
+    anyway), so smooth shading derives them: each face's unnormalized
+    cross product (proportional to area) accumulates at its three
+    corners, then each vertex sum is normalized.  Degenerate vertices
+    (zero accumulated normal) stay zero; the shader falls back to the
+    geometric face normal there.
+    """
+    nrm = np.zeros_like(verts)
+    if faces.shape[0]:
+        e1 = verts[faces[:, 1]] - verts[faces[:, 0]]
+        e2 = verts[faces[:, 2]] - verts[faces[:, 0]]
+        fn = np.cross(e1, e2)  # area-weighted
+        for k in range(3):
+            np.add.at(nrm, faces[:, k], fn)
+    ln = np.sqrt((nrm * nrm).sum(-1, keepdims=True))
+    return np.where(ln > 1e-20, nrm / np.where(ln > 0, ln, 1.0), 0.0).astype(
+        np.float32)
+
+
 def load_obj(
     path,
     objects: list[Object],
@@ -127,12 +150,16 @@ def load_obj(
     """Append the mesh's triangles to ``objects``; returns count added.
 
     Missing files print an error and add nothing (loader.cpp:27-30).
+    Vertex normals are computed from connectivity and attached to each
+    triangle (inert unless RenderConfig.smooth_shading is on; the
+    uniform positive scale + offset transform preserves directions).
     """
     try:
         verts, faces = parse_obj_arrays(path)
     except OSError:
         print(f"[Loader Error] Cannot open file: {path}", file=sys.stderr)
         return 0
+    vnrm = compute_vertex_normals(verts, faces)
     verts = verts * np.float32(scale) + np.asarray(offset, dtype=np.float32)
     for a, b, c in faces:
         objects.append(
@@ -144,6 +171,9 @@ def load_obj(
                 metallic=metallic,
                 roughness=roughness,
                 tex_id=-1,
+                n0=tuple(vnrm[a]),
+                n1=tuple(vnrm[b]),
+                n2=tuple(vnrm[c]),
             )
         )
     print(f"[Loader] Loaded: {path} ({verts.shape[0]} vertices, {faces.shape[0]} faces)", file=sys.stderr)
