@@ -34,6 +34,13 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
                    help="persistent | bounce (default: config)")
     p.add_argument("--traversal", default=None,
                    help="threaded | fatnode (default: config)")
+    p.add_argument("--scheduler", default=None,
+                   help="owner | pool | quota (default: config)")
+    p.add_argument("--smooth", action="store_true",
+                   help="smooth shading from computed vertex normals "
+                        "(beyond-reference; identical across engines)")
+    p.add_argument("--bvh-method", default=None,
+                   help="sah | median | sbvh (default: config)")
 
 
 def build_scene_arrays(args):
@@ -175,6 +182,12 @@ def _cfg_from_args(args) -> RenderConfig:
         cfg = cfg.replace(engine=args.engine)
     if getattr(args, "traversal", None):
         cfg = cfg.replace(traversal=args.traversal)
+    if getattr(args, "scheduler", None):
+        cfg = cfg.replace(scheduler=args.scheduler)
+    if getattr(args, "smooth", False):
+        cfg = cfg.replace(smooth_shading=True)
+    if getattr(args, "bvh_method", None):
+        cfg = cfg.replace(bvh_method=args.bvh_method)
     return cfg
 
 

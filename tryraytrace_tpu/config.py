@@ -79,12 +79,12 @@ class RenderConfig:
     # Shading cadence for the persistent engine: shade READY lanes
     # every this many loop iterations (amortizes the shading gathers;
     # any value gives identical images).  Under the staged spill
-    # ladder, (unroll 4, cadence 2) = one tick per 8 steps measured
-    # best on v5e: 14.38 vs 13.61 Mrays/s at cadence 4 -- once DONE
-    # idle is compacted away, tick-wait is the binding idle and a
-    # tighter cadence pays; (2, 2) = tick per 4 steps over-ticks
-    # (12.46).
-    shade_every: int = 2
+    # ladder the headline sweep measured (unroll, cadence) = (4, 3)
+    # best: 14.80 Mrays/s vs 14.38 at (4,2), 14.47 at (3,3), 13.97 at
+    # (6,2), 13.61 at (4,4), 12.46 at (2,2) -- once DONE idle is
+    # compacted away, tick-wait is the binding idle and ~12 steps per
+    # tick is the sweet spot.
+    shade_every: int = 3
     # Traversal scheme for the persistent engine: "fatnode" fetches
     # both child boxes at the parent (front-to-back by true entry
     # distance, register short-stack; ~0.5x the row fetches) or
