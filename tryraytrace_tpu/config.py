@@ -145,6 +145,11 @@ class RenderConfig:
     # giving each lane 4 pixels of stealing headroom.  Exact for any
     # value (RNG streams and per-pixel sums are absolute).
     pool_span: int = 262144
+    # Quota-scheduler flush path: "onehot" accumulates completed
+    # samples with a one-hot FMA over the [span/w, w] pool grid (pure
+    # vector math); "scatter" uses a unique-indices scatter-add.
+    # Identical images either way.
+    quota_accum: str = "onehot"
     # Staged tail spill: compact live lanes down a geometric ladder of
     # wave widths (w/2, w/4, ... spill_stages halvings, floor 64) as
     # the wave drains, so lane occupancy stays > 1/2 per stage instead

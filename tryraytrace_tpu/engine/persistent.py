@@ -711,13 +711,29 @@ def _refill(s, cam, frame_seed, pixel_pool, width, height,
 
     if n_items > 0 and cfg.scheduler == "quota":
         pixel_done = refill & exhausted
-        # Lane positions are distinct columns of the pool grid for the
-        # whole frame, so every tick's flush can scatter at ``pos``
-        # with the uniqueness promise (serialization-free on TPU);
-        # non-refill lanes add exact 0.0 at their current position.
-        out = s["out"].at[s["pos"]].add(
-            jnp.where(refill[..., None], flushed, 0.0),
-            unique_indices=True, mode="promise_in_bounds")
+        upd = jnp.where(refill[..., None], flushed, 0.0)
+        w_cur = int(refill.shape[0])
+        if (cfg.quota_accum == "onehot" and w_cur == stride
+                and n_items % stride == 0):
+            # Full-width wave: lane i owns column i of the [Q, w] pool
+            # grid (pos = i + k*w), so the flush is a one-hot FMA over
+            # the Q quota rows -- pure vector math, no scatter (TPU
+            # scatters cost more per element even with the uniqueness
+            # promise).  Spill waves (compacted, columns no longer
+            # aligned) take the scatter branch below.
+            q = n_items // stride
+            k_idx = s["pos"] // stride
+            oh = (k_idx[None, :] == jnp.arange(q, dtype=jnp.int32)[:, None])
+            out = (s["out"].reshape(q, stride, 3)
+                   + oh[..., None].astype(jnp.float32) * upd[None]
+                   ).reshape(n_items, 3)
+        else:
+            # Lane positions are distinct pool positions for the whole
+            # frame, so the scatter can promise unique in-bounds
+            # indices (serialization-free); non-refill lanes add exact
+            # 0.0 at their current position.
+            out = s["out"].at[s["pos"]].add(
+                upd, unique_indices=True, mode="promise_in_bounds")
         newpos = s["pos"] + stride
         have = pixel_done & (newpos < n_items)
         pix = jnp.where(
