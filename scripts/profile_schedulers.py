@@ -95,8 +95,8 @@ def main() -> int:
     args = ap.parse_args()
     for sched in args.schedulers.split(","):
         spec = dict(width=args.width, height=args.height, spp=args.spp,
-                    scheduler=sched, dual_walk=False,
-                    **json.loads(args.extra))
+                    scheduler=sched, dual_walk=False)
+        spec.update(json.loads(args.extra))
         t0 = time.time()
         try:
             r = subprocess.run([sys.executable, "-c", CHILD,

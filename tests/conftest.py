@@ -8,6 +8,14 @@ authoritative override.
 
 import os
 
+# The sandbox's host machine can change between sessions; JAX's
+# persistent compilation cache then holds AOT blobs compiled for a
+# different CPU (observed: machine-feature mismatch warnings, then a
+# hard segfault inside put_executable_and_time during a cache write).
+# Tests recompile cheaply on CPU -- run them cache-free.
+os.environ["TPURT_NO_JAX_CACHE"] = "1"
+os.environ.setdefault("JAX_ENABLE_COMPILATION_CACHE", "false")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
