@@ -30,3 +30,21 @@ jax.config.update("jax_platforms", "cpu")
 
 def pytest_sessionstart(session):
     assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+# XLA:CPU segfaults (inside backend_compile_and_load) once a single
+# process has accumulated a few hundred compiled executables -- the
+# staged spill ladder multiplied loop bodies per config and pushed the
+# full suite over the edge (observed: deterministic crash ~62% through
+# the suite, same tests pass in isolation).  Dropping the executable
+# caches periodically keeps the process under the cliff; re-compiles
+# on CPU cost seconds.
+_TESTS_SINCE_CLEAR = 0
+
+
+def pytest_runtest_teardown(item, nextitem):
+    global _TESTS_SINCE_CLEAR
+    _TESTS_SINCE_CLEAR += 1
+    if _TESTS_SINCE_CLEAR >= 20:
+        _TESTS_SINCE_CLEAR = 0
+        jax.clear_caches()
