@@ -47,7 +47,7 @@ def main() -> int:
     ap.add_argument("--dual-walk", action=argparse.BooleanOptionalAction,
                     default=None, help="--dual-walk / --no-dual-walk "
                     "(default: config default)")
-    ap.add_argument("--scheduler", default=None, help="pool | owner")
+    ap.add_argument("--scheduler", default=None, help="owner | pool | quota")
     args = ap.parse_args()
 
     import jax

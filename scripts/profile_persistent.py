@@ -121,7 +121,10 @@ def main() -> int:
     if len(good) >= 3:
         import numpy as np
 
-        a = np.array([[r["bodies"], r["lane_steps"] / 65536,
+        # Normalize steps by each variant's own lane count (the
+        # C_step unit is "one full-width step at that width").
+        a = np.array([[r["bodies"],
+                       r["lane_steps"] / r["spec"].get("lanes", 65536),
                        r["ticks"]] for r in good])
         y = np.array([r["ms"] for r in good])
         coef, res, *_ = np.linalg.lstsq(a, y, rcond=None)
