@@ -225,6 +225,54 @@ def _build_python(pb: np.ndarray, cent: np.ndarray,
                      axis_arr, order.astype(np.int32))
 
 
+
+def _flatten_preorder(t_lo, t_hi, t_left, t_right, t_axis, t_start,
+                      t_count, perm) -> LinearBVH:
+    """Preorder flatten with miss links, shared by the SAH and SBVH
+    builders (the native builder mirrors it in csrc/trt_native.cpp):
+    assigns final node ids depth-first-left, threading each node's
+    miss link to the next preorder node outside its subtree.
+    ``t_count[tid] > 0`` marks a leaf holding ``t_count`` contiguous
+    reference slots starting at ``t_start``."""
+    mm = len(t_lo)
+    bounds = np.empty((mm, 6), np.float32)
+    leaf_prim = np.full(mm, -1, np.int32)
+    leaf_count = np.zeros(mm, np.int32)
+    miss = np.full(mm, mm, np.int32)
+    left = np.full(mm, -1, np.int32)
+    right = np.full(mm, -1, np.int32)
+    axis_arr = np.zeros(mm, np.int32)
+    next_node = 0
+    stack = [(0, mm)]  # (temp id, miss link in FINAL ids)
+    while stack:
+        tid, miss_link = stack.pop()
+        nid = next_node
+        next_node += 1
+        bounds[nid, :3] = t_lo[tid]
+        bounds[nid, 3:] = t_hi[tid]
+        miss[nid] = miss_link
+        axis_arr[nid] = t_axis[tid]
+        if t_count[tid] > 0:
+            leaf_prim[nid] = t_start[tid]
+            leaf_count[nid] = t_count[tid]
+            continue
+        # Left child is allocated next (preorder); its subtree size
+        # tells us the right child's final id.
+        lsize = _subtree_size(t_left[tid], t_left, t_right)
+        l_id = nid + 1
+        r_id = nid + 1 + lsize
+        left[nid] = l_id
+        right[nid] = r_id
+        stack.append((t_right[tid], miss_link))
+        stack.append((t_left[tid], r_id))
+
+    return LinearBVH(bounds[:next_node], leaf_prim[:next_node],
+                     leaf_count[:next_node], miss[:next_node],
+                     left[:next_node], right[:next_node],
+                     axis_arr[:next_node],
+                     np.asarray(perm, dtype=np.int32))
+
+
 def _build_sah(pb: np.ndarray, cent: np.ndarray, leaf_size: int,
                n_bins: int = 16, c_trav: float = 1.0,
                c_isect: float = 0.4) -> LinearBVH:
@@ -349,45 +397,8 @@ def _build_sah(pb: np.ndarray, cent: np.ndarray, leaf_size: int,
     finally:
         sys.setrecursionlimit(old_limit)
 
-    # Preorder flatten with miss links.
-    mm = len(t_lo)
-    bounds = np.empty((mm, 6), np.float32)
-    leaf_prim = np.full(mm, -1, np.int32)
-    leaf_count = np.zeros(mm, np.int32)
-    miss = np.full(mm, mm, np.int32)
-    left = np.full(mm, -1, np.int32)
-    right = np.full(mm, -1, np.int32)
-    axis_arr = np.zeros(mm, np.int32)
-    new_id = np.full(mm, -1, np.int64)
-    next_node = 0
-    stack = [(0, mm)]  # (temp id, miss link in FINAL ids)
-    while stack:
-        tid, miss_link = stack.pop()
-        nid = next_node
-        next_node += 1
-        new_id[tid] = nid
-        bounds[nid, :3] = t_lo[tid]
-        bounds[nid, 3:] = t_hi[tid]
-        miss[nid] = miss_link
-        axis_arr[nid] = t_axis[tid]
-        if t_count[tid] > 0:
-            leaf_prim[nid] = t_start[tid]
-            leaf_count[nid] = t_count[tid]
-            continue
-        # Left child is allocated next (preorder); its subtree size
-        # tells us the right child's final id.
-        lsize = _subtree_size(t_left[tid], t_left, t_right)
-        l_id = nid + 1
-        r_id = nid + 1 + lsize
-        left[nid] = l_id
-        right[nid] = r_id
-        stack.append((t_right[tid], miss_link))
-        stack.append((t_left[tid], r_id))
-
-    return LinearBVH(bounds[:next_node], leaf_prim[:next_node],
-                     leaf_count[:next_node], miss[:next_node],
-                     left[:next_node], right[:next_node],
-                     axis_arr[:next_node], order.astype(np.int32))
+    return _flatten_preorder(t_lo, t_hi, t_left, t_right, t_axis,
+                             t_start, t_count, order)
 
 
 def _clip_tri_slab(v0, v1, v2, axis: int, lo_p, hi_p):
@@ -692,41 +703,8 @@ def _build_sbvh(pb: np.ndarray, v0: np.ndarray, v1: np.ndarray,
             t_count[tid] = len(refs)
             order.extend(ref_prim[i] for i in refs)
 
-    mm = len(t_lo)
-    bounds = np.empty((mm, 6), np.float32)
-    leaf_prim = np.full(mm, -1, np.int32)
-    leaf_count = np.zeros(mm, np.int32)
-    miss = np.full(mm, mm, np.int32)
-    left = np.full(mm, -1, np.int32)
-    right = np.full(mm, -1, np.int32)
-    axis_arr = np.zeros(mm, np.int32)
-    next_node = 0
-    stack = [(0, mm)]
-    while stack:
-        tid, miss_link = stack.pop()
-        nid = next_node
-        next_node += 1
-        bounds[nid, :3] = t_lo[tid]
-        bounds[nid, 3:] = t_hi[tid]
-        miss[nid] = miss_link
-        axis_arr[nid] = t_axis[tid]
-        if t_refs[tid] is not None:
-            leaf_prim[nid] = t_start[tid]
-            leaf_count[nid] = t_count[tid]
-            continue
-        lsize = _subtree_size(t_left[tid], t_left, t_right)
-        l_id = nid + 1
-        r_id = nid + 1 + lsize
-        left[nid] = l_id
-        right[nid] = r_id
-        stack.append((t_right[tid], miss_link))
-        stack.append((t_left[tid], r_id))
-
-    return LinearBVH(bounds[:next_node], leaf_prim[:next_node],
-                     leaf_count[:next_node], miss[:next_node],
-                     left[:next_node], right[:next_node],
-                     axis_arr[:next_node],
-                     np.asarray(order, dtype=np.int32))
+    return _flatten_preorder(t_lo, t_hi, t_left, t_right, t_axis,
+                             t_start, t_count, order)
 
 
 def _subtree_size(tid: int, t_left, t_right) -> int:
@@ -881,10 +859,10 @@ def pack_fatnode_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
     return table
 
 
-# Packed hit-data row layout (float32[30]): everything shading needs
+# Packed hit-data row layout (float32[37]): everything shading needs
 # about the hit primitive in one gather (rows are free to >= 112
 # floats on v5e, docs/PERFORMANCE.md).
-TRIMAT_WIDTH = 30
+TRIMAT_WIDTH = 37
 TM_TRI = slice(0, 9)          # v0 v1 v2
 TM_ALBEDO = slice(9, 12)
 TM_EMISSION = slice(12, 15)
@@ -896,6 +874,8 @@ TM_TEX_ID = 19
 TM_AREA = 20                  # precomputed triangle area (NEE pdf)
 TM_NRM = slice(21, 30)        # per-corner vertex normals (n0 n1 n2;
                               # all-zero = none -> geometric normal)
+TM_UV = slice(30, 36)         # per-corner UVs (uv0 uv1 uv2)
+TM_UV_FLAG = 36               # 1.0 = UVs valid (else planar mapping)
 
 
 def pack_trimat_table(arrays) -> np.ndarray:
@@ -918,7 +898,72 @@ def pack_trimat_table(arrays) -> np.ndarray:
     if getattr(arrays, "nrm0", None) is not None:
         out[:, TM_NRM] = np.concatenate(
             [arrays.nrm0, arrays.nrm1, arrays.nrm2], axis=-1)
+    if getattr(arrays, "uv0", None) is not None:
+        out[:, TM_UV] = np.concatenate(
+            [arrays.uv0, arrays.uv1, arrays.uv2], axis=-1)
+        out[:, TM_UV_FLAG] = arrays.uv_mask
     return out
+
+
+def refit_bvh(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
+              v2: np.ndarray) -> LinearBVH:
+    """Recompute node bounds for deformed geometry, reusing the tree.
+
+    Beyond-reference: the reference builds its BVH once at startup and
+    never rebuilds (bvh.cpp:32-45; SURVEY.md L3 "no refit, no
+    rebuild"), so animated geometry is impossible there.  A refit is
+    O(N) vs the O(N log^2 N) rebuild and keeps the topology (miss
+    links, leaf spans, permutation) identical -- only ``bounds`` and
+    the packed tables change, so the engine's compiled program is
+    reused as-is (same shapes).
+
+    ``v0/v1/v2`` are the *slot-ordered* triangle vertices (i.e. after
+    ``arrays.permuted(bvh.perm)``), deformed but with unchanged
+    topology.  Leaf bounds use the same degenerate-axis padding as the
+    build (primitive_bounds); internal bounds are child unions,
+    computed level-by-level bottom-up (vectorized per depth).  Note an
+    SBVH's spatially *clipped* leaf boxes are refit to full triangle
+    boxes -- still conservative/correct, just looser than a fresh
+    spatial-split build.
+    """
+    m = bvh.num_nodes
+    if m == 0:
+        return bvh
+    pb = primitive_bounds(v0, v1, v2)
+    bounds = np.array(bvh.bounds, dtype=np.float32, copy=True)
+
+    # Leaves: union over each leaf's contiguous primitive span.
+    leaves = np.nonzero(bvh.leaf_count > 0)[0]
+    if leaves.size:
+        start = bvh.leaf_prim[leaves].astype(np.int64)
+        count = bvh.leaf_count[leaves].astype(np.int64)
+        lo = pb[start, :3].copy()
+        hi = pb[start, 3:].copy()
+        for k in range(1, int(count.max())):
+            has = count > k
+            idx = start + np.minimum(k, count - 1)
+            lo = np.where(has[:, None], np.minimum(lo, pb[idx, :3]), lo)
+            hi = np.where(has[:, None], np.maximum(hi, pb[idx, 3:]), hi)
+        bounds[leaves, :3] = lo
+        bounds[leaves, 3:] = hi
+
+    # Internal nodes, deepest level first (preorder guarantees children
+    # have larger ids, but per-level grouping vectorizes the sweep).
+    depth = np.zeros(m, dtype=np.int32)
+    internal = bvh.left >= 0
+    for i in range(m):
+        if internal[i]:
+            depth[bvh.left[i]] = depth[i] + 1
+            depth[bvh.right[i]] = depth[i] + 1
+    for lvl in range(int(depth.max()), -1, -1):
+        idx = np.nonzero(internal & (depth == lvl))[0]
+        if not idx.size:
+            continue
+        l, r = bvh.left[idx], bvh.right[idx]
+        bounds[idx, :3] = np.minimum(bounds[l, :3], bounds[r, :3])
+        bounds[idx, 3:] = np.maximum(bounds[l, 3:], bounds[r, 3:])
+
+    return dataclasses.replace(bvh, bounds=bounds)
 
 
 def _rebuild_links(bounds, leaf_prim, miss, axis, perm) -> LinearBVH:

@@ -68,8 +68,26 @@ class RenderConfig:
     # barycentrics and use them for all shading directions.  Ray-
     # offset origins keep the geometric normal (self-intersection
     # robustness).  Triangles without normals (walls) fall back to the
-    # geometric face normal.  Identical across engines + oracle.
+    # geometric face normal.  Engines/oracle agree to ULP on ~all
+    # pixels, but unlike the flat-shading invariant this is NOT
+    # bit-level: the interpolated-normal normalize feeds ULP drift
+    # into RNG branch comparisons, so rare samples (~1/500 pixels)
+    # can flip paths between independently compiled programs
+    # (tests/test_smooth_shading.py bounds the tail).
     smooth_shading: bool = False
+
+    # Beyond-reference: sample textures at barycentric-interpolated
+    # per-vertex UVs (OBJ ``vt``) instead of the planar projection,
+    # for triangles that carry UVs (loaded with parse_uv=True).  The
+    # reference loader skips slash-form faces entirely
+    # (loader.cpp:65-68), so parity default is off.  Triangles
+    # without UVs -- and sliver triangles, where the barycentric
+    # solve is ill-conditioned (see shade.barycentric) -- keep the
+    # planar projection.  Same cross-program caveat as
+    # smooth_shading: the interpolated UV feeds ULP drift into the
+    # 4-tap texel pick, which can move one texel step on tap
+    # boundaries (bounded by tests/test_uv.py).
+    uv_mapping: bool = False
 
     # Engine selection: "persistent" (lane state machine, no per-bounce
     # lockstep barriers -- engine/persistent.py) or "bounce"

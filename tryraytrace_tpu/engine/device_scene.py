@@ -22,6 +22,7 @@ from tryraytrace_tpu.accel.bvh import (
     pack_fatnode_table,
     pack_traversal_table,
     pack_trimat_table,
+    refit_bvh,
 )
 from tryraytrace_tpu.scene.model import SceneArrays
 
@@ -56,6 +57,10 @@ class DeviceScene:
     # the flag on or off for normal-less scenes.
     has_normals: bool = dataclasses.field(metadata=dict(static=True),
                                           default=False)
+    # Static: any triangle with real per-corner UVs?  Same compile-out
+    # contract as has_normals for the uv_mapping flag.
+    has_uvs: bool = dataclasses.field(metadata=dict(static=True),
+                                      default=False)
     leaf_size: int = dataclasses.field(metadata=dict(static=True), default=8)
     # Tree depth (static): sizes the fat-node register stack exactly --
     # stack traffic scales with depth, so tighter is faster.
@@ -111,6 +116,8 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
             and (np.abs(ordered.nrm0).max(initial=0.0) > 0
                  or np.abs(ordered.nrm1).max(initial=0.0) > 0
                  or np.abs(ordered.nrm2).max(initial=0.0) > 0)),
+        has_uvs=bool(ordered.uv_mask is not None
+                     and ordered.uv_mask.max(initial=0.0) > 0),
         bvh_bounds=put(bvh.bounds),
         bvh_leaf_prim=put(bvh.leaf_prim),
         bvh_miss=put(bvh.miss),
@@ -132,3 +139,44 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
     )
     textures = tuple(put(t) for t in ordered.textures)
     return dev, textures, bvh
+
+
+def refit_scene(dev: DeviceScene, bvh: LinearBVH, arrays: SceneArrays,
+                device_put=True) -> tuple[DeviceScene, LinearBVH]:
+    """Re-upload deformed geometry without rebuilding the BVH.
+
+    ``arrays`` is the scene in ORIGINAL primitive order (same topology
+    and light set as the upload; vertices/materials may have moved).
+    The refit keeps every static field and every array shape, so the
+    engine's jitted program is reused -- this is the animated-geometry
+    path the reference lacks entirely (it uploads once, SURVEY.md L3/
+    renderer.cu:134-184).  Returns (new_scene, refit_bvh).
+    """
+    ordered = arrays.permuted(bvh.perm) if bvh.perm.size else arrays
+    new_bvh = refit_bvh(bvh, ordered.tri_v0, ordered.tri_v1,
+                        ordered.tri_v2)
+    leaf_size = dev.leaf_size
+    put = jax.device_put if device_put else (lambda x: x)
+    new = dataclasses.replace(
+        dev,
+        tri_v0=put(ordered.tri_v0),
+        tri_v1=put(ordered.tri_v1),
+        tri_v2=put(ordered.tri_v2),
+        albedo=put(ordered.albedo),
+        emission=put(ordered.emission),
+        metallic=put(ordered.metallic),
+        roughness=put(ordered.roughness),
+        ior=put(ordered.ior),
+        transmission=put(ordered.transmission),
+        tex_id=put(ordered.tex_id),
+        bvh_bounds=put(new_bvh.bounds),
+        node_table=put(pack_traversal_table(
+            new_bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
+            leaf_size=leaf_size)),
+        fatnode_table=put(pack_fatnode_table(
+            new_bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
+            leaf_size=leaf_size)) if int(dev.fatnode_table.shape[0])
+        else dev.fatnode_table,
+        trimat=put(pack_trimat_table(ordered)),
+    )
+    return new, new_bvh

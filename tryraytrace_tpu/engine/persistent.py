@@ -44,7 +44,7 @@ from tryraytrace_tpu.engine.camera_rays import generate_rays
 from tryraytrace_tpu.engine.wavefront import _sanitize
 from tryraytrace_tpu.ops import shade
 from tryraytrace_tpu.ops.aabb import aabb_hit
-from tryraytrace_tpu.ops.texture import sample_textures
+from tryraytrace_tpu.ops.texture import interp_uv, planar_uv, sample_textures
 from tryraytrace_tpu.ops.traverse import (
     FATNODE_DEPTH,
     MISS_T,
@@ -193,6 +193,12 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
         # Empty scene: every ray misses, all samples contribute 0.
         out = jnp.zeros((n, 3), jnp.float32)
         stats = (jnp.float32(n * spp), jnp.float32(0))
+        if with_debug:
+            z = jnp.float32(0)
+            dbg = dict(bodies=jnp.int32(0), ticks=z, visits=z,
+                       shadow_visits=z, lane_steps=z, ctx_done=z,
+                       ctx_wait=z, ctx_steps=z)
+            return (out, stats, dbg) if with_stats else (out, dbg)
         return (out, stats) if with_stats else out
 
     keys = tuple(sorted(st.keys()))
@@ -532,9 +538,17 @@ def _shade_ready(s, scene, textures, cfg: RenderConfig):
     transmission = hitrow[:, 18]
 
     if textures:
+        # Planar projection, or interpolated per-vertex UVs where
+        # present (beyond-reference, RenderConfig.uv_mapping).
+        t_u, t_v = planar_uv(x_hit, nrm, jnp.float32(cfg.tex_planar_scale))
+        if cfg.uv_mapping and scene.has_uvs:
+            b1, b2, okb = shade.barycentric(v0, v1, v2, x_hit)
+            iu, iv = interp_uv(hitrow[:, 30:36], b1, b2)
+            use_uv = (hitrow[:, 36] > 0.0) & okb
+            t_u = jnp.where(use_uv, iu, t_u)
+            t_v = jnp.where(use_uv, iv, t_v)
         factor = sample_textures(
-            textures, hitrow[:, 19].astype(jnp.int32), x_hit, nrm,
-            jnp.float32(cfg.tex_planar_scale))
+            textures, hitrow[:, 19].astype(jnp.int32), t_u, t_v)
         albedo = albedo * factor
 
     # Ray-offset origins always use the geometric front-face normal

@@ -32,7 +32,7 @@ from tryraytrace_tpu.config import RenderConfig
 from tryraytrace_tpu.core import rng, vec
 from tryraytrace_tpu.engine.camera_rays import generate_rays
 from tryraytrace_tpu.ops import shade
-from tryraytrace_tpu.ops.texture import sample_textures
+from tryraytrace_tpu.ops.texture import interp_uv, planar_uv, sample_textures
 from tryraytrace_tpu.ops.traverse import any_hit_packed, closest_hit_packed
 
 PI = np.float32(np.pi)
@@ -125,12 +125,19 @@ def _bounce(scene, textures, seed, pixel_idx, depth,
     ior = hitrow[:, 17]
     transmission = hitrow[:, 18]
 
-    # Planar-projection texture modulation (renderer.cu:463-481).
+    # Texture modulation: planar projection (renderer.cu:463-481), or
+    # interpolated per-vertex UVs where present (beyond-reference,
+    # RenderConfig.uv_mapping; sliver triangles fall back to planar).
     if textures:
+        t_u, t_v = planar_uv(x_hit, nrm, jnp.float32(cfg.tex_planar_scale))
+        if cfg.uv_mapping and scene.has_uvs:
+            b1, b2, okb = shade.barycentric(v0, v1, v2, x_hit)
+            iu, iv = interp_uv(hitrow[:, 30:36], b1, b2)
+            use_uv = (hitrow[:, 36] > 0.0) & okb
+            t_u = jnp.where(use_uv, iu, t_u)
+            t_v = jnp.where(use_uv, iv, t_v)
         factor = sample_textures(
-            textures, hitrow[:, 19].astype(jnp.int32), x_hit, nrm,
-            jnp.float32(cfg.tex_planar_scale),
-        )
+            textures, hitrow[:, 19].astype(jnp.int32), t_u, t_v)
         albedo = albedo * factor
 
     # Ray-offset origins keep the geometric front-face normal; smooth
@@ -329,7 +336,14 @@ def render_frame(scene, textures, cam, frame_seed, width: int, height: int,
             # under shard_map), so sharded renders keep the measured
             # ~65k-lane wave optimum instead of one full-width wave.
             chunks = _cdiv(n, mw)
-            chunk = _cdiv(n, chunks)
+            # pool/quota chunks stay exactly pool_span wide (only the
+            # tail chunk pads): the quota one-hot flush requires
+            # n_items to divide by the wave width, and pool_span is a
+            # multiple of max_wave_lanes.  Owner chunks balance.
+            if cfg.scheduler in ("pool", "quota"):
+                chunk = mw
+            else:
+                chunk = _cdiv(n, chunks)
             padded = chunks * chunk
             pad_pos = jnp.minimum(jnp.arange(padded, dtype=jnp.int32),
                                   n - 1)

@@ -152,6 +152,31 @@ def sample_triangle(v0, v1, v2, u1, u2, xp=jnp):
     return v0 * a[..., None] + v1 * b[..., None] + v2 * c[..., None]
 
 
+def barycentric(v0, v1, v2, x_hit, xp=jnp):
+    """Barycentric coordinates (b1, b2, ok) of ``x_hit`` in the
+    triangle; the hit point is b0*v0 + b1*v1 + b2*v2 with
+    b0 = 1-b1-b2.  ``ok`` is False for ill-conditioned (near-sliver)
+    triangles: den = d11*d22*sin^2(angle between edges), so 1-ULP
+    drift in x_hit amplifies into visibly different interpolants
+    between independently-compiled programs -- callers must fall back
+    to a barycentric-free quantity there (geometric normal, planar
+    UV)."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    p = x_hit - v0
+    d11 = vec.dot(e1, e1, xp)
+    d12 = vec.dot(e1, e2, xp)
+    d22 = vec.dot(e2, e2, xp)
+    dp1 = vec.dot(p, e1, xp)
+    dp2 = vec.dot(p, e2, xp)
+    den = d11 * d22 - d12 * d12
+    ok_den = den > 1e-6 * d11 * d22
+    inv = 1.0 / xp.where(ok_den, den, 1.0)
+    b1 = (d22 * dp1 - d12 * dp2) * inv
+    b2 = (d11 * dp2 - d12 * dp1) * inv
+    return b1, b2, ok_den
+
+
 def smooth_normal(v0, v1, v2, n0, n1, n2, x_hit, nrm_geo, xp=jnp):
     """Barycentric-interpolated vertex normal at ``x_hit`` (smooth
     shading -- beyond-reference feature, see RenderConfig).
@@ -162,24 +187,7 @@ def smooth_normal(v0, v1, v2, n0, n1, n2, x_hit, nrm_geo, xp=jnp):
     exactly, so scenes without normals are bit-identical with the
     flag on.
     """
-    e1 = v1 - v0
-    e2 = v2 - v0
-    p = x_hit - v0
-    d11 = vec.dot(e1, e1, xp)
-    d12 = vec.dot(e1, e2, xp)
-    d22 = vec.dot(e2, e2, xp)
-    dp1 = vec.dot(p, e1, xp)
-    dp2 = vec.dot(p, e2, xp)
-    den = d11 * d22 - d12 * d12
-    # Relative conditioning guard: den = d11*d22*sin^2(angle between
-    # edges), so near-sliver triangles make the barycentric solve
-    # ill-conditioned (1-ULP drift in x_hit amplifies into visibly
-    # different normals between independently-compiled programs).
-    # Fall back to the geometric normal there.
-    ok_den = den > 1e-6 * d11 * d22
-    inv = 1.0 / xp.where(ok_den, den, 1.0)
-    b1 = (d22 * dp1 - d12 * dp2) * inv
-    b2 = (d11 * dp2 - d12 * dp1) * inv
+    b1, b2, ok_den = barycentric(v0, v1, v2, x_hit, xp)
     b0 = 1.0 - b1 - b2
     ns = n0 * b0[..., None] + n1 * b1[..., None] + n2 * b2[..., None]
     ns = xp.where(vec.dot(ns, nrm_geo, xp)[..., None] < 0.0, -ns, ns)

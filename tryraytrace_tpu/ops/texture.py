@@ -61,18 +61,34 @@ def planar_uv(x_hit, n, scale, xp=jnp):
     return u, v
 
 
-def sample_textures(textures, tex_id, x_hit, n, scale, xp=jnp):
-    """Multiplicative texture factor [N,3] (1 where tex_id < 0).
+def interp_uv(uv_row, b1, b2, xp=jnp):
+    """Barycentric-interpolated (u, v) from a packed per-corner UV row
+    [..., 6] = (u0 v0 u1 v1 u2 v2) -- the trimat TM_UV slice.
+
+    Beyond-reference feature (the reference loader drops ``vt`` lines
+    entirely, loader.cpp:61-68).  V is flipped once after
+    interpolation: OBJ texture coordinates put v=0 at the image
+    bottom while the PPM rows load top-down, matching the planar
+    path's V flip convention (renderer.cu:476).
+    """
+    b0 = 1.0 - b1 - b2
+    u = uv_row[..., 0] * b0 + uv_row[..., 2] * b1 + uv_row[..., 4] * b2
+    v = uv_row[..., 1] * b0 + uv_row[..., 3] * b1 + uv_row[..., 5] * b2
+    return u, 1.0 - v
+
+
+def sample_textures(textures, tex_id, u, v, xp=jnp):
+    """Multiplicative texture factor [N,3] (1 where tex_id < 0) at
+    normalized texture coordinates (u, v).
 
     ``textures`` is a tuple of [H,W,3] arrays (slot k = tex_id k,
     bounded by MAX_TEXTURES=5 like renderer.cu:20).  Texture sizes
     differ, so each slot is sampled for the whole wave and selected by
     mask -- at most 5 gathers, usually 1.
     """
-    factor = xp.ones(x_hit.shape, dtype=xp.float32)
+    factor = xp.ones(u.shape + (3,), dtype=xp.float32)
     if not textures:
         return factor
-    u, v = planar_uv(x_hit, n, scale, xp)
     for k, tex in enumerate(textures):
         texel = sample_bilinear_wrap(tex, u, v, xp)
         factor = xp.where((tex_id == k)[..., None], texel, factor)

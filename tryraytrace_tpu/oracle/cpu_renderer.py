@@ -181,6 +181,20 @@ def _oracle_sample(ar, cam, width, height, seed, cfg, textures):
             vv = np.where(y_dom, x_hit[:, 2], np.where(x_dom, x_hit[:, 1], x_hit[:, 1]))
             uu = uu * scale
             vv = 1.0 - vv * scale
+            # Interpolated per-vertex UVs where present (flag-gated,
+            # mirrors both engines; sliver fallback to planar).
+            if cfg.uv_mapping and ar.uv_mask is not None and ar.uv_mask.max(initial=0.0) > 0:
+                from tryraytrace_tpu.ops import shade as _shade
+
+                b1, b2, okb = _shade.barycentric(v0[sid], v1[sid], v2[sid],
+                                                 x_hit, xp=np)
+                a0, a1, a2 = ar.uv0[sid], ar.uv1[sid], ar.uv2[sid]
+                b0 = 1.0 - b1 - b2
+                iu = a0[:, 0] * b0 + a1[:, 0] * b1 + a2[:, 0] * b2
+                iv = a0[:, 1] * b0 + a1[:, 1] * b1 + a2[:, 1] * b2
+                use_uv = (ar.uv_mask[sid] > 0) & okb
+                uu = np.where(use_uv, iu, uu)
+                vv = np.where(use_uv, 1.0 - iv, vv)
             for k, tex in enumerate(textures):
                 mask = tex_id == k
                 if mask.any():

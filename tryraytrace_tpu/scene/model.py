@@ -45,6 +45,13 @@ class Object:
     n0: tuple[float, float, float] = (0.0, 0.0, 0.0)
     n1: tuple[float, float, float] = (0.0, 0.0, 0.0)
     n2: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # Optional per-corner texture coordinates (OBJ ``vt``; the
+    # reference loader drops slash-form faces so it never has UVs).
+    # None = no UVs; texturing then uses the reference's planar
+    # projection.  Inert unless RenderConfig.uv_mapping is on.
+    uv0: tuple[float, float] | None = None
+    uv1: tuple[float, float] | None = None
+    uv2: tuple[float, float] | None = None
 
 
 @dataclasses.dataclass
@@ -92,6 +99,12 @@ class SceneArrays:
     nrm0: np.ndarray | None = None
     nrm1: np.ndarray | None = None
     nrm2: np.ndarray | None = None
+    # Per-corner UVs [N, 2] each + per-triangle flag [N] (1.0 = this
+    # triangle carries real UVs; 0.0 = fall back to planar projection).
+    uv0: np.ndarray | None = None
+    uv1: np.ndarray | None = None
+    uv2: np.ndarray | None = None
+    uv_mask: np.ndarray | None = None
 
     @property
     def num_objects(self) -> int:
@@ -130,6 +143,10 @@ class SceneArrays:
             nrm0=None if self.nrm0 is None else self.nrm0[perm],
             nrm1=None if self.nrm1 is None else self.nrm1[perm],
             nrm2=None if self.nrm2 is None else self.nrm2[perm],
+            uv0=None if self.uv0 is None else self.uv0[perm],
+            uv1=None if self.uv1 is None else self.uv1[perm],
+            uv2=None if self.uv2 is None else self.uv2[perm],
+            uv_mask=None if self.uv_mask is None else self.uv_mask[perm],
         )
 
 
@@ -166,6 +183,18 @@ def flatten_scene(
     emission = fvec("emission")
     if textures is None:
         textures = _load_textures(scene.texture_files)
+
+    def fuv(attr):
+        out = np.zeros((n, 2), np.float32)
+        for i, o in enumerate(objs):
+            val = getattr(o, attr)
+            if val is not None:
+                out[i] = val
+        return out
+
+    has_uv = np.array(
+        [o.uv0 is not None and o.uv1 is not None and o.uv2 is not None
+         for o in objs], dtype=np.float32)
     return SceneArrays(
         tri_v0=fvec("v0"),
         tri_v1=fvec("v1"),
@@ -182,6 +211,10 @@ def flatten_scene(
         nrm0=fvec("n0"),
         nrm1=fvec("n1"),
         nrm2=fvec("n2"),
+        uv0=fuv("uv0"),
+        uv1=fuv("uv1"),
+        uv2=fuv("uv2"),
+        uv_mask=has_uv,
     )
 
 
