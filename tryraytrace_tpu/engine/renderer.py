@@ -45,6 +45,14 @@ def _render_step(scene, textures, cam, state, frame_seed, *,
     return RenderState(state.accum + acc, state.spp + spp)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "cfg", "spp"))
+def _render_tile(scene, textures, cam, pixel_idx, frame_seed, *,
+                 width, height, cfg, spp):
+    return render_frame(scene, textures, cam, frame_seed, width, height,
+                        cfg, spp=spp, pixel_idx=pixel_idx)
+
+
 class Renderer:
     """Progressive wavefront renderer bound to one scene + resolution."""
 
@@ -90,11 +98,82 @@ class Renderer:
         )
         self.frame += 1
 
+    def step_tiled(self, cam, tiles: int, spp: int | None = None) -> None:
+        """One progressive pass rendered as ``tiles`` sequential
+        pixel-strip dispatches instead of a single device call.
+
+        Sample-identical to ``step``: the RNG is keyed by absolute
+        (pixel, sample) (core/rng.py), so tiling cannot change which
+        samples are drawn -- renders are bit-identical at practical
+        tile widths and within the engines' 1-ULP XLA fusion-drift
+        budget at degenerate (few-pixel) widths
+        (tests/test_tiled.py).  Each dispatch touches only ~1/tiles
+        of the frame:
+        this bounds per-call device time and working set, which is how
+        >4K frames stay under the sandbox TPU's ~10s-per-call limit
+        (CLAUDE.md) -- streamed rendering the reference's one-launch
+        kernel (renderer.cu:764-770) has no counterpart for.
+        """
+        spp = self.cfg.spp if spp is None else spp
+        if self._step_spp is not None and spp != self._step_spp:
+            raise ValueError(
+                f"spp changed {self._step_spp} -> {spp} mid-accumulation; "
+                "call reset() first (RNG streams would alias)")
+        self._step_spp = spp
+        n = self.width * self.height
+        tiles = max(1, min(int(tiles), n))
+        span = -(-n // tiles)
+        accum = self.state.accum
+        for k in range(tiles):
+            s = k * span
+            if s >= n:
+                break
+            e = min(s + span, n)
+            # Static tile width: the tail tile clamps (duplicate lanes
+            # render pixel n-1 again and are sliced off).
+            idx = jnp.minimum(jnp.arange(s, s + span, dtype=jnp.int32),
+                              n - 1)
+            part = _render_tile(
+                self.scene, self.textures, cam, idx,
+                jnp.uint32(self.frame), width=self.width,
+                height=self.height, cfg=self.cfg, spp=spp)
+            accum = accum.at[s:e].add(part[: e - s])
+        self.state = RenderState(accum, self.state.spp + spp)
+        self.frame += 1
+
     def reset(self) -> None:
         """Camera moved: restart accumulation (main.cpp:170-173)."""
         self.state = self.state.reset()
         self.frame = 1
         self._step_spp = None
+
+    def refit(self, scene, textures=None) -> None:
+        """Animated geometry: re-upload deformed vertices/materials
+        (same topology and light set) via a BVH refit instead of a
+        rebuild, then restart accumulation.  Beyond-reference: the
+        reference uploads the scene exactly once (renderer.cu:134-184)
+        and cannot animate geometry at all.  All array shapes and
+        static fields are preserved, so the jitted step is NOT
+        recompiled."""
+        from tryraytrace_tpu.engine.device_scene import refit_scene
+
+        if isinstance(scene, Scene):
+            arrays = flatten_scene(
+                scene, textures=textures,
+                light_scan_threshold=self.cfg.light_scan_threshold)
+        else:
+            arrays = scene
+        # Original-order count (the SBVH perm is surjective: slot count
+        # can exceed the original count via duplicated references).
+        n_orig = (int(self.bvh.perm.max()) + 1 if self.bvh.perm.size
+                  else self.scene.num_objects)
+        if arrays.num_objects != n_orig:
+            raise ValueError(
+                f"refit needs identical topology: {arrays.num_objects} "
+                f"objects vs {n_orig} at upload "
+                "(rebuild with a new Renderer instead)")
+        self.scene, self.bvh = refit_scene(self.scene, self.bvh, arrays)
+        self.reset()
 
     # -- readback ------------------------------------------------------
     def accum_host(self) -> np.ndarray:
