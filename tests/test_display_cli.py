@@ -142,6 +142,30 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(cam2.pos, (1, 2, 3))
 
 
+def test_checkpoint_roundtrip_orbax(tmp_path):
+    # Non-.npz path -> Orbax checkpoint directory (beyond-reference
+    # multi-host-friendly format; engine/state.py save_checkpoint).
+    import jax.numpy as jnp
+
+    from tryraytrace_tpu.engine.state import (RenderState, load_checkpoint,
+                                              save_checkpoint)
+
+    st = RenderState(jnp.arange(12, dtype=jnp.float32).reshape(4, 3),
+                     jnp.int32(7))
+    cam = CameraController(position=(1, 2, 3))
+    cam.pitch = 10.0
+    path = tmp_path / "ck_orbax"
+    save_checkpoint(path, st, 2, 2, camera=cam, frame_seed=9)
+    assert path.is_dir()
+    st2, w, h, seed, cam2 = load_checkpoint(path)
+    assert (w, h, seed) == (2, 2, 9)
+    np.testing.assert_array_equal(np.asarray(st2.accum),
+                                  np.asarray(st.accum))
+    assert int(st2.spp) == 7
+    assert cam2.pitch == 10.0
+    np.testing.assert_allclose(cam2.pos, (1, 2, 3))
+
+
 def test_app_periodic_checkpoint(tmp_path):
     from tryraytrace_tpu.config import RenderConfig
     from tryraytrace_tpu.display.app import App

@@ -38,9 +38,15 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
                    help="owner | pool | quota (default: config)")
     p.add_argument("--smooth", action="store_true",
                    help="smooth shading from computed vertex normals "
-                        "(beyond-reference; identical across engines)")
+                        "(beyond-reference; engines agree to ULP, rare "
+                        "RNG branch flips possible across programs)")
     p.add_argument("--bvh-method", default=None,
                    help="sah | median | sbvh (default: config)")
+    p.add_argument("--uv", action="store_true",
+                   help="UV texture mapping: parse OBJ vt/slash faces "
+                        "(the reference skips them) and sample textures "
+                        "at interpolated per-vertex UVs; --obj entries "
+                        "get texture slot 0 when UVs are present")
 
 
 def build_scene_arrays(args):
@@ -64,7 +70,18 @@ def build_scene_arrays(args):
         scale = float(parts[1]) if len(parts) > 1 else 1.0
         offset = (tuple(float(x) for x in parts[2].split(","))
                   if len(parts) > 2 else (0.0, 0.0, 0.0))
-        load_obj(path, scene.objects, offset=offset, scale=scale)
+        if getattr(args, "uv", False):
+            before = len(scene.objects)
+            load_obj(path, scene.objects, offset=offset, scale=scale,
+                     parse_uv=True,
+                     tex_id=0 if scene.texture_files else -1)
+            # Meshes that came back without any UVs stay untextured.
+            if not any(o.uv0 is not None
+                       for o in scene.objects[before:]):
+                for o in scene.objects[before:]:
+                    o.tex_id = -1
+        else:
+            load_obj(path, scene.objects, offset=offset, scale=scale)
 
     # earth.ppm is absent from the reference mount; substitute the
     # checker stand-in so tex_id 0 renders (SURVEY.md section 0).
@@ -132,9 +149,19 @@ def cmd_render(args) -> int:
         import jax
 
         # Keep the renderer's shardings (a ShardedRenderer state is
-        # dp-sharded; device_put distributes the host checkpoint).
+        # dp-sharded).  device_put handles fully-addressable shardings
+        # (single process); on a multi-host mesh each process supplies
+        # its addressable shards from the (replicated) host checkpoint
+        # via make_array_from_callback.
         shardings = jax.tree.map(lambda x: x.sharding, r.state)
-        r.state = jax.device_put(state, shardings)
+        if jax.process_count() > 1:
+            r.state = jax.tree.map(
+                lambda arr, sh: jax.make_array_from_callback(
+                    np.asarray(arr).shape, sh,
+                    lambda idx, a=arr: np.asarray(a)[idx]),
+                state, shardings)
+        else:
+            r.state = jax.device_put(state, shardings)
         r.frame = frame_seed
         if saved_cam is not None:
             cam = saved_cam
@@ -142,9 +169,13 @@ def cmd_render(args) -> int:
 
     params = cam.get_params(cfg.width, cfg.height)
     t0 = time.time()
+    tiles = getattr(args, "tiles", 0) or 0
     with timer.phase("render"):
         for _ in range(args.frames):
-            r.step(params)
+            if tiles > 1 and hasattr(r, "step_tiled"):
+                r.step_tiled(params, tiles)
+            else:
+                r.step(params)
         r.block_until_ready()
     dt = time.time() - t0
     log_event("render_done", frames=args.frames, spp=r.spp(),
@@ -186,6 +217,8 @@ def _cfg_from_args(args) -> RenderConfig:
         cfg = cfg.replace(scheduler=args.scheduler)
     if getattr(args, "smooth", False):
         cfg = cfg.replace(smooth_shading=True)
+    if getattr(args, "uv", False):
+        cfg = cfg.replace(uv_mapping=True)
     if getattr(args, "bvh_method", None):
         cfg = cfg.replace(bvh_method=args.bvh_method)
     return cfg
@@ -259,9 +292,14 @@ def main(argv=None) -> int:
                    help="progressive passes (each adds --spp samples)")
     p.add_argument("--out", default="out.ppm")
     p.add_argument("--checkpoint", default=None,
-                   help="save accumulator+camera to .npz after rendering")
+                   help="save accumulator+camera after rendering "
+                        "(*.npz = NumPy archive, else Orbax directory)")
     p.add_argument("--resume", default=None,
-                   help="resume from a checkpoint .npz")
+                   help="resume from a checkpoint (.npz or Orbax dir)")
+    p.add_argument("--tiles", type=int, default=0,
+                   help="render each pass as N sequential pixel-strip "
+                        "dispatches (bit-identical; bounds per-call "
+                        "device time for >4K frames)")
     p.add_argument("--sharded", action="store_true",
                    help="render over a (dp, sp) mesh of all devices")
     p.add_argument("--mesh-tile", type=int, default=None,

@@ -107,9 +107,14 @@ class ShardedRenderer:
         self.bvh = bvh
         n = self.width * self.height
         accum_sharding = NamedSharding(self.mesh, P(TILE_AXIS))
+        # spp must carry the replicated mesh sharding (not a bare
+        # single-device scalar): checkpoint resume re-distributes the
+        # host state through ``x.sharding`` of these leaves, and a
+        # SingleDeviceSharding there places each process's copy on a
+        # different device, which the jitted step then rejects.
         self.state = RenderState(
             jax.device_put(np.zeros((n, 3), np.float32), accum_sharding),
-            jnp.int32(0),
+            jax.device_put(np.int32(0), repl),
         )
         self.frame = 1
         self._step_spp = None
