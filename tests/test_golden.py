@@ -104,6 +104,33 @@ def test_multi_light_picks_both_lights():
     assert float(np.abs(lit - r1.accum_host()).max()) > 1e-3
 
 
+def test_multi_texture_slots():
+    # Every other textured test uses one texture; this pins the
+    # per-slot selection loop (ops/texture.py sample_textures: sample
+    # each slot, select by tex_id == k) with two differently-sized
+    # textures on different surfaces, engine vs oracle.
+    scene = create_cornell_box(mesh=None)
+    # Back wall already samples slot 0; give the floor slot 1 via a
+    # quad of two triangles in front of the camera.
+    quad = (((-40, 0.5, -40), (140, 0.5, -40), (140, 0.5, 290),
+             (-40, 0.5, 290)))
+    for ia, ib, ic in ((0, 1, 2), (0, 2, 3)):
+        scene.objects.append(Object(
+            v0=quad[ia], v1=quad[ib], v2=quad[ic],
+            albedo=(0.85, 0.85, 0.85), roughness=1.0, tex_id=1))
+    inv = 1.0 - checker_texture(16)  # visibly distinct second slot
+    arrays = flatten_scene(scene, textures=[checker_texture(32), inv])
+    eng, ora = _render_both(arrays, 32, 24, spp=2)
+    assert _mse(eng, ora) < MSE_EXPECT
+
+    # Slot 1 must actually be sampled: same scene with an all-white
+    # second texture must differ.
+    white = np.ones_like(inv)
+    arrays2 = flatten_scene(scene, textures=[checker_texture(32), white])
+    eng2, _ = _render_both(arrays2, 32, 24, spp=2)
+    assert float(np.abs(eng - eng2).max()) > 1e-3
+
+
 def test_depth_of_field():
     scene = create_cornell_box(mesh=None)
     arrays = flatten_scene(scene, textures=[checker_texture(32)])
