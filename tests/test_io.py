@@ -15,6 +15,22 @@ def test_ppm_roundtrip(tmp_path):
     np.testing.assert_array_equal(out, img)
 
 
+def test_save_image_suffix_dispatch(tmp_path):
+    from tryraytrace_tpu.io.ppm import save_image
+
+    img = (np.arange(2 * 3 * 3) % 256).astype(np.uint8).reshape(2, 3, 3)
+    # .ppm (and unknown suffixes) -> parity P6 writer.
+    p = tmp_path / "t.ppm"
+    save_image(p, img)
+    np.testing.assert_array_equal(load_ppm(p), img)
+    # .png -> PIL round trip (beyond-reference convenience).
+    g = tmp_path / "t.png"
+    save_image(g, img)
+    from PIL import Image
+
+    np.testing.assert_array_equal(np.asarray(Image.open(g)), img)
+
+
 def test_ppm_reference_format(tmp_path):
     # The byte layout the reference writer produces (image_io.cpp:77).
     p = tmp_path / "ref.ppm"

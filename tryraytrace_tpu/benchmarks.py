@@ -73,7 +73,7 @@ def build_config(name: str):
 
 
 def run_config(name: str, frames: int = 2, engine: str | None = None,
-               fly: bool = False) -> dict:
+               fly: bool = False, cfg_kw: dict | None = None) -> dict:
     import jax
 
     from tryraytrace_tpu.camera.controller import CameraController
@@ -86,7 +86,8 @@ def run_config(name: str, frames: int = 2, engine: str | None = None,
     spp_chunk = max(1, min(spp, int(2e8 / (w * h * 12))))
     while spp % spp_chunk:
         spp_chunk -= 1
-    cfg = RenderConfig(width=w, height=h, spp=spp_chunk)
+    cfg = RenderConfig(width=w, height=h, spp=spp_chunk,
+                       **(cfg_kw or {}))
     if engine:
         cfg = cfg.replace(engine=engine)
     r = Renderer(arrays, cfg=cfg)

@@ -127,7 +127,7 @@ def cmd_render(args) -> int:
     from tryraytrace_tpu.camera.controller import CameraController
     from tryraytrace_tpu.engine.renderer import Renderer
     from tryraytrace_tpu.engine.state import load_checkpoint, save_checkpoint
-    from tryraytrace_tpu.io.ppm import save_ppm
+    from tryraytrace_tpu.io.ppm import save_image
     from tryraytrace_tpu.io.snapshot import tonemap_accum
     from tryraytrace_tpu.utils.logging import log_event
     from tryraytrace_tpu.utils.profiling import PhaseTimer
@@ -199,7 +199,7 @@ def cmd_render(args) -> int:
         with timer.phase("tonemap+write"):
             img = tonemap_accum(
                 accum.reshape(cfg.height, cfg.width, 3), max(r.spp(), 1))
-            save_ppm(args.out, img)
+            save_image(args.out, img)
         print(f"[tpurt] wrote {args.out} ({cfg.width}x{cfg.height}, "
               f"{r.spp()} spp, {dt:.2f}s)")
     print(timer.summary(), file=sys.stderr)
