@@ -233,6 +233,18 @@ def test_pipeline_dispatch_reset_hammer():
         t.join(timeout=30)
         assert not t.is_alive()
     stop.set()
+    # The last dispatched frame may still be in the worker when the
+    # producers finish (seen once under a saturated host: the loop
+    # above exits before the starved worker ever flips frame_ready).
+    # Drain it so host load can't fail the test spuriously.
+    deadline = time.time() + 30
+    while consumed == 0 and time.time() < deadline:
+        if p.check_frame_ready():
+            consumed += 1
+            buf = p.pixel_buffer.copy()
+            assert set(np.unique(buf).tolist()) <= valid
+        else:
+            time.sleep(0.01)
     p.destroy()
     assert not errors
     assert consumed >= 1

@@ -49,8 +49,12 @@ class RenderConfig:
     # reference uses singleton leaves (bvh.cpp:67-72); on TPU the
     # per-node-visit row fetch is the cost unit and in-row math is
     # free, so fat leaves cut visits at no per-step cost.  Results are
-    # identical (closest-hit is order-independent).
-    bvh_leaf_size: int = 8
+    # identical (closest-hit is order-independent).  0 = auto: the
+    # largest fat leaf (8, then 6, then 4) whose fused-row table stays
+    # under the measured ~3 MB gather knee (docs/PERFORMANCE.md) --
+    # small scenes get 8 (the headline optimum), 13k+-triangle scenes
+    # drop to 6 (measured +6% on flythrough1080).
+    bvh_leaf_size: int = 0
     # BVH build method for the engine: "sah" (binned surface-area
     # heuristic; fewer node visits) or "median" (the reference's exact
     # algorithm, bvh.cpp:47-113).  Images are identical either way.

@@ -76,6 +76,27 @@ class DeviceScene:
         return int(self.bvh_bounds.shape[0])
 
 
+def _build_auto_leaf(arrays: SceneArrays, method: str):
+    """Auto leaf size: the largest fat leaf whose fused traversal
+    table stays under the measured ~3 MB gather knee (tables above it
+    pay ~0.06 ms/MB per in-loop row fetch, docs/PERFORMANCE.md).
+    Small scenes keep the 8-wide headline optimum; 13k+-triangle
+    scenes drop to 6 (measured +6% on flythrough1080).  Images are
+    identical for any leaf size (closest-hit is order-independent)."""
+    from tryraytrace_tpu.accel.bvh import traversal_row_width
+
+    knee_bytes = 3.0e6
+    candidates = (8, 6, 4)
+    for cand in candidates:
+        bvh = build_bvh(arrays.tri_v0, arrays.tri_v1, arrays.tri_v2,
+                        leaf_size=cand, method=method)
+        width = traversal_row_width(
+            int(max(1, bvh.leaf_count.max())) if bvh.num_nodes else 1)
+        if bvh.num_nodes * width * 4 <= knee_bytes or cand == candidates[-1]:
+            return bvh, cand
+    raise AssertionError("unreachable")
+
+
 def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
                  device_put=True, leaf_size: int = 8,
                  method: str = "sah", traversal: str = "threaded"
@@ -87,8 +108,11 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
     separately because their shapes vary per scene.
     """
     if bvh is None:
-        bvh = build_bvh(arrays.tri_v0, arrays.tri_v1, arrays.tri_v2,
-                        leaf_size=leaf_size, method=method)
+        if leaf_size <= 0:
+            bvh, leaf_size = _build_auto_leaf(arrays, method)
+        else:
+            bvh = build_bvh(arrays.tri_v0, arrays.tri_v1, arrays.tri_v2,
+                            leaf_size=leaf_size, method=method)
     leaf_size = int(max(1, bvh.leaf_count.max())) if bvh.num_nodes else 1
     ordered = arrays.permuted(bvh.perm) if bvh.perm.size else arrays
 
