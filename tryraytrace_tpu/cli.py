@@ -255,8 +255,11 @@ def cmd_bench(args) -> int:
         from tryraytrace_tpu.benchmarks import CONFIGS, run_config
 
         names = CONFIGS if args.config == "all" else [args.config]
+        cfg_kw = ({"bvh_leaf_size": args.leaf_size}
+                  if args.leaf_size is not None else None)
         for name in names:
-            print(json.dumps(run_config(name, frames=args.frames)),
+            print(json.dumps(run_config(name, frames=args.frames,
+                                        cfg_kw=cfg_kw)),
                   flush=True)
         return 0
     import bench as bench_mod  # repo-root bench.py is the harness
@@ -333,6 +336,9 @@ def main(argv=None) -> int:
     p.add_argument("--config", default=None,
                    help="BASELINE.json config: cube256 | teapot512 | "
                         "cow800 | teddy1024 | flythrough1080 | all")
+    p.add_argument("--leaf-size", type=int, default=None,
+                   help="BVH fat-leaf size (0 = auto under the 3 MB "
+                        "gather knee; default: RenderConfig default)")
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("info", help="device + scene info")
