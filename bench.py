@@ -92,8 +92,14 @@ def main() -> int:
     scene, textures, bvh = upload_scene(arrays, leaf_size=cfg.bvh_leaf_size,
                                         method=cfg.bvh_method,
                                         traversal=cfg.traversal)
+    if cfg.shade_every < 1:
+        from tryraytrace_tpu.engine.device_scene import auto_shade_every
+
+        cfg = cfg.replace(shade_every=auto_shade_every(
+            bvh, arrays, cfg.step_unroll))
     log(f"[bench] scene: {arrays.num_objects} tris, BVH {bvh.num_nodes} "
-        f"nodes ({cfg.bvh_method}), build+upload {time.time() - t0:.2f}s")
+        f"nodes ({cfg.bvh_method}), shade_every {cfg.shade_every}, "
+        f"build+upload {time.time() - t0:.2f}s")
 
     cam = CameraController().get_params(w, h)
 

@@ -100,13 +100,20 @@ class RenderConfig:
     engine: str = "persistent"
     # Shading cadence for the persistent engine: shade READY lanes
     # every this many loop iterations (amortizes the shading gathers;
-    # any value gives identical images).  Under the staged spill
-    # ladder the headline sweep measured (unroll, cadence) = (4, 3)
-    # best: 14.80 Mrays/s vs 14.38 at (4,2), 14.47 at (3,3), 13.97 at
-    # (6,2), 13.61 at (4,4), 12.46 at (2,2) -- once DONE idle is
-    # compacted away, tick-wait is the binding idle and ~12 steps per
-    # tick is the sweet spot.
-    shade_every: int = 3
+    # any value gives identical images).  0 = auto (the default):
+    # Renderer/ShardedRenderer/bench resolve it per scene from the
+    # build-time surface-ray visit probe as round((visits + 6) /
+    # step_unroll) clamped to [3, 8]
+    # (engine/device_scene.auto_shade_every) -- deeper scenes want
+    # longer cadences, and the mapping reproduces every measured
+    # on-chip optimum: teapot 3 (14.8 Mrays/s), cow 4 (+4%), teddy 4
+    # (+2%), flythrough 5 (+13%); see BASELINE.md.  A direct
+    # render_frame call with an unresolved 0 falls back to 3, the
+    # headline sweep optimum at (unroll, cadence) = (4, 3): 14.80
+    # Mrays/s vs 14.38 at (4,2), 14.47 at (3,3), 13.97 at (6,2),
+    # 13.61 at (4,4), 12.46 at (2,2) -- once DONE idle is compacted
+    # away, tick-wait is the binding idle.
+    shade_every: int = 0
     # Traversal scheme for the persistent engine: "fatnode" fetches
     # both child boxes at the parent (front-to-back by true entry
     # distance, register short-stack; ~0.5x the row fetches) or

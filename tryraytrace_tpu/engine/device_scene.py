@@ -97,6 +97,24 @@ def _build_auto_leaf(arrays: SceneArrays, method: str):
     raise AssertionError("unreachable")
 
 
+def auto_shade_every(bvh: LinearBVH, arrays: SceneArrays,
+                     step_unroll: int) -> int:
+    """Auto shading cadence for the persistent engine: steps between
+    shade ticks ~ (expected visits per ray segment + 6), so a lane
+    finishing an average-length walk waits well under one walk's worth
+    of steps for its tick.  Calibrated on-chip (BASELINE.md): the
+    measured optima are teapot 3 / cow 4 / teddy 4 / flythrough 5 at
+    unroll 4, and this mapping reproduces all of them from the
+    build-time surface-ray probe (accel/bvh.py
+    estimate_surface_visits).  Images are identical for any cadence
+    (scheduling only)."""
+    from tryraytrace_tpu.accel.bvh import estimate_surface_visits
+
+    visits = estimate_surface_visits(bvh, arrays.tri_v0, arrays.tri_v1,
+                                     arrays.tri_v2)
+    return int(np.clip(round((visits + 6.0) / max(1, step_unroll)), 3, 8))
+
+
 def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
                  device_put=True, leaf_size: int = 8,
                  method: str = "sah", traversal: str = "threaded"

@@ -98,7 +98,10 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     table = scene.fatnode_table if fat else scene.node_table
     sentinel = table.shape[0]
     col_ps = 6 + 9 * k
-    shade_every = max(1, cfg.shade_every)
+    # 0 = auto, resolved per scene by Renderer/ShardedRenderer/bench
+    # (engine/device_scene.auto_shade_every); a direct render_frame
+    # call with an unresolved 0 gets the global sweep optimum 3.
+    shade_every = cfg.shade_every if cfg.shade_every >= 1 else 3
 
     # Work-stealing pool: the wave is (at most) max_wave_lanes wide and
     # lanes *claim* pixels from a shared pool as they retire them, so a

@@ -75,6 +75,11 @@ class Renderer:
         self.scene, self.textures, self.bvh = upload_scene(
             arrays, leaf_size=self.cfg.bvh_leaf_size,
             method=self.cfg.bvh_method, traversal=self.cfg.traversal)
+        if self.cfg.shade_every < 1:
+            from tryraytrace_tpu.engine.device_scene import auto_shade_every
+
+            self.cfg = self.cfg.replace(shade_every=auto_shade_every(
+                self.bvh, arrays, self.cfg.step_unroll))
         self.state = RenderState.zeros(self.width * self.height)
         self.frame = 1  # gpu_frame counter parity (main.cpp:149)
         self._step_spp = None
