@@ -47,6 +47,9 @@ def main() -> int:
     ap.add_argument("--dual-walk", action=argparse.BooleanOptionalAction,
                     default=None, help="--dual-walk / --no-dual-walk "
                     "(default: config default)")
+    ap.add_argument("--inline-shade", action=argparse.BooleanOptionalAction,
+                    default=None, help="--inline-shade / --no-inline-shade "
+                    "(default: config default)")
     ap.add_argument("--scheduler", default=None, help="owner | pool | quota")
     args = ap.parse_args()
 
@@ -85,6 +88,8 @@ def main() -> int:
         cfg = cfg.replace(max_wave_lanes=args.max_wave)
     if args.dual_walk is not None:
         cfg = cfg.replace(dual_walk=args.dual_walk)
+    if args.inline_shade is not None:
+        cfg = cfg.replace(inline_shade=args.inline_shade)
     if args.scheduler:
         cfg = cfg.replace(scheduler=args.scheduler)
 

@@ -114,6 +114,18 @@ class RenderConfig:
     # 13.61 at (4,4), 12.46 at (2,2) -- once DONE idle is compacted
     # away, tick-wait is the binding idle.
     shade_every: int = 0
+    # Inline shading for the persistent engine: extend the traversal
+    # table with the packed trimat rows so the per-step gather slot
+    # also serves material fetches, shade a finished walk on its very
+    # NEXT step (mode SHADEG), and regenerate terminated lanes
+    # in-step -- no tick-wait idle; shade ticks then only service
+    # textured hits (their bilinear taps stay out of the step
+    # program), and untextured scenes run tick-free.  Identical
+    # images (the RNG is slot-addressed, so shade timing cannot
+    # change what a lane draws).  Requires threaded traversal + owner
+    # scheduler + <=1 light; silently falls back otherwise.
+    # None = auto (currently off pending on-chip measurement).
+    inline_shade: bool | None = False
     # Traversal scheme for the persistent engine: "fatnode" fetches
     # both child boxes at the parent (front-to-back by true entry
     # distance, register short-stack; ~0.5x the row fetches) or

@@ -62,6 +62,11 @@ SHADOW = 1
 READY = 2
 REFILL = 3
 DONE = 4
+# Inline shading (cfg.inline_shade): a finished walk's lane spends its
+# NEXT step gathering its hit triangle's material row from the unified
+# [node rows; trimat rows] table -- the same single gather slot every
+# step -- and shades right there instead of idling for the shade tick.
+SHADEG = 5
 
 
 def _lane_seed(frame_seed, seed_spp: int, sample):
@@ -125,6 +130,37 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     dual = (cfg.dual_walk and not fat and not pool
             and spp >= 2 and spp % 2 == 0)
     sample_stride = 2 if dual else 1
+
+    # Inline shading (see _step): supported for the threaded walk +
+    # owner schedule + <=1 light (a per-lane light-row gather would be
+    # a second gather per step; every bench scene has exactly 1 light,
+    # and multi-light scenes keep the tick path whose single shared
+    # gather amortizes over the cadence).
+    inline_ok = (not fat) and (not pool) and scene.num_lights <= 1
+    inline = (bool(cfg.inline_shade) if cfg.inline_shade is not None
+              else False) and inline_ok
+    inline_ctx = None
+    if inline:
+        # Unified gather table: node rows first (traversal indices and
+        # the done-sentinel are unchanged), then the trimat rows packed
+        # 2-per-row where the node width allows (the row fetch is
+        # width-independent to >=112 f32; packing halves the added
+        # table bytes to stay under the ~3 MB gather knee).
+        nw = table.shape[1]
+        pack = 2 if nw >= 74 else 1
+        wu = max(nw, 37 * pack)
+        tm = scene.trimat
+        if pack == 2 and tm.shape[0] % 2:
+            tm = jnp.pad(tm, ((0, 1), (0, 0)))
+        packed = tm.reshape(-1, 37 * pack)
+        packed = jnp.pad(packed, ((0, 0), (0, wu - 37 * pack)))
+        table = jnp.concatenate(
+            [jnp.pad(table, ((0, 0), (0, wu - nw))), packed], axis=0)
+        inline_ctx = dict(
+            pack=pack, scene=scene, textures=textures, cfg=cfg, cam=cam,
+            frame_seed=frame_seed, pixel_pool=pixel_idx, width=width,
+            height=height, spp=spp, sample_offset=sample_offset,
+            seed_spp=seed_spp, sample_stride=sample_stride, stride=w)
 
     f3 = lambda: jnp.zeros((w, 3), jnp.float32)
 
@@ -237,7 +273,7 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
 
     def make_body():
         def run_single(s):
-            for _ in range(step_unroll):
+            for u in range(step_unroll):
                 if with_debug:
                     act = (s["mode"] == TRAVERSE) | (s["mode"] == SHADOW)
                     s["dbg_visits"] = (s["dbg_visits"]
@@ -247,7 +283,21 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
                         + (s["mode"] == SHADOW).sum().astype(jnp.float32))
                     s["dbg_lane_steps"] = (s["dbg_lane_steps"]
                                            + jnp.float32(act.shape[0]))
-                s = step_fn(s, table, sentinel, k, col_ps)
+                # Inline servicing rides the LAST unrolled step of the
+                # body: the shade/refill block's elementwise+state
+                # writes are paid once per body (like a tick), but a
+                # finished lane waits at most one body for them
+                # (measured per-STEP servicing loses 16% at the
+                # headline -- 4x the block cost for marginal extra
+                # wait reduction on top of dual-walk).
+                s = step_fn(s, table, sentinel, k, col_ps, inline_ctx,
+                            u == step_unroll - 1)
+
+            if inline_ctx is not None and not textures:
+                # Tick-free: shading, regeneration and retirement all
+                # happen in-step; there is nothing left for a tick to
+                # service (READY only ever holds textured hits).
+                return s
 
             def tick(ss):
                 if with_debug:
@@ -288,15 +338,21 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
                     s["dbg_ctx_steps"] += jnp.float32(mm.shape[0])
             if not dual:
                 s = run_single(s)
+                if inline_ctx is not None:
+                    # Lanes retire in-step under inline shading; keep
+                    # the ladder's live count exact per body.
+                    s["cnt"] = (~lane_done(s)).sum().astype(jnp.int32)
             else:
                 # Per-lane mux: step whichever context is mid-walk
                 # (alternate when both are).  On shade-tick iterations
                 # a PENDING context takes the slot instead so its tick
                 # fires -- otherwise a long-running context starves its
                 # partner and the two run sequentially.
-                a_act = (s["mode"] == TRAVERSE) | (s["mode"] == SHADOW)
+                a_act = ((s["mode"] == TRAVERSE) | (s["mode"] == SHADOW)
+                         | (s["mode"] == SHADEG))
                 b_act = ((s["b.mode"] == TRAVERSE)
-                         | (s["b.mode"] == SHADOW))
+                         | (s["b.mode"] == SHADOW)
+                         | (s["b.mode"] == SHADEG))
                 a_pend = (s["mode"] == READY) | (s["mode"] == REFILL)
                 b_pend = ((s["b.mode"] == READY)
                           | (s["b.mode"] == REFILL))
@@ -380,14 +436,32 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     return final["out"]
 
 
-def _step(s, table, sentinel, k: int, col_ps: int):
+def _step(s, table, sentinel, k: int, col_ps: int, inline=None,
+          service: bool = True):
     """One traversal step for TRAVERSE and SHADOW lanes -- a single
-    shared node-row gather serves both walks."""
+    shared node-row gather serves both walks.
+
+    With ``inline`` (cfg.inline_shade), the same gather slot also
+    serves SHADEG lanes: ``table`` is the unified [node rows; packed
+    trimat rows] table, a lane whose walk finished last step fetches
+    its hit triangle's material row THIS step and shades right here
+    (_shade_core), and terminated lanes regenerate in-step (_refill,
+    owner schedule) -- no lane ever waits for a shade tick except
+    textured hits, which are deferred to the (now rare) tick because
+    their bilinear tap gathers must stay out of the per-step program.
+    """
     live_t = s["mode"] == TRAVERSE
     live_s = s["mode"] == SHADOW
     stepping = live_t | live_s
 
     idx = jnp.where(stepping, jnp.minimum(s["cur"], sentinel - 1), 0)
+    service = service and inline is not None
+    if service:
+        live_g = s["mode"] == SHADEG
+        pack = inline["pack"]
+        sid = jnp.maximum(s["hit_id"], 0)
+        shade_idx = sentinel + (sid >> 1 if pack == 2 else sid)
+        idx = jnp.where(live_g, shade_idx, idx)
     row = table[idx]
 
     ls3 = live_s[..., None]
@@ -432,7 +506,14 @@ def _step(s, table, sentinel, k: int, col_ps: int):
     rad = s["rad"] + jnp.where(lit[..., None], s["pend"], 0.0)
 
     mode = s["mode"]
-    mode = jnp.where(t_done, READY, mode)
+    if inline is None:
+        mode = jnp.where(t_done, READY, mode)
+    else:
+        # A finished walk shades NEXT step (its material row rides the
+        # same gather slot); a miss ends the path immediately
+        # (renderer.cu:427) and regenerates below.
+        mode = jnp.where(t_done, jnp.where(hit_id >= 0, SHADEG, REFILL),
+                         mode)
     # A finished shadow ray resumes the (already-selected) next bounce
     # unless its path ended at this bounce: then the lane refills.
     mode = jnp.where(s_done,
@@ -444,10 +525,29 @@ def _step(s, table, sentinel, k: int, col_ps: int):
 
     out = dict(s)
     out.update(mode=mode, cur=cur, d_min=d_min, hit_id=hit_id, rad=rad)
+    if service:
+        if pack == 2:
+            trow = jnp.where(((s["hit_id"] & 1) == 1)[..., None],
+                             row[:, 37:74], row[:, 0:37])
+        else:
+            trow = row[:, 0:37]
+        out = _shade_core(out, trow, live_g, inline["scene"],
+                          inline["textures"], inline["cfg"],
+                          defer_textured=True)
+        # In-step path regeneration (owner schedule: all elementwise,
+        # no gathers) -- REFILL lanes created by the shade above or
+        # the miss/shadow transitions regenerate before the next step.
+        out = _refill(out, inline["cam"], inline["frame_seed"],
+                      inline["pixel_pool"], inline["width"],
+                      inline["height"], inline["cfg"], inline["spp"],
+                      inline["sample_offset"], inline["seed_spp"],
+                      inline["sample_stride"], n_items=0,
+                      stride=inline["stride"])
     return out
 
 
-def _step_fat(s, table, sentinel, k: int, col_ps: int):
+def _step_fat(s, table, sentinel, k: int, col_ps: int, inline=None,
+              service: bool = True):
     """One fat-node traversal step for TRAVERSE and SHADOW lanes,
     sharing the single parent-row gather (see ops/traverse.py
     fatnode_step).  A lane with cur == 0 is starting a fresh walk, so
@@ -516,13 +616,35 @@ def _shade_ready(s, scene, textures, cfg: RenderConfig):
     (renderer.cu:427-733) in masked form, slot-addressed RNG by the
     lane's own (sample seed, pixel, depth)."""
     ready = s["mode"] == READY
+    sid = jnp.maximum(s["hit_id"], 0)
+    hitrow = scene.trimat[sid]
+    return _shade_core(s, hitrow, ready, scene, textures, cfg)
+
+
+def _shade_core(s, hitrow, mask, scene, textures, cfg: RenderConfig,
+                defer_textured: bool = False):
+    """The reference shading block (renderer.cu:427-733) over the
+    lanes in ``mask``, with ``hitrow`` their (already-gathered) fused
+    triangle+material rows.  RNG is slot-addressed by the lane's own
+    (sample seed, pixel, depth), so WHEN a lane is shaded cannot
+    change WHAT it draws -- the tick path (_shade_ready) and the
+    inline path (SHADEG lanes in _step) produce identical paths.
+
+    ``defer_textured``: leave textured hits un-shaded in READY for the
+    shade tick instead (the inline path cannot afford their extra
+    bilinear tap gathers per step; the tick redraws the same RNG
+    slots, so deferral is exact)."""
+    ready = mask
     seed = s["seed"]
     pixel_idx = s["pix"]
-    sid = jnp.maximum(s["hit_id"], 0)
     found = s["hit_id"] >= 0
+    deferred = jnp.zeros_like(ready)
+    if defer_textured and textures:
+        textured = hitrow[:, 19] >= 0.0
+        deferred = ready & found & textured
+        ready = ready & ~deferred
     alive = ready & found  # miss -> path ends (renderer.cu:427)
 
-    hitrow = scene.trimat[sid]
     v0 = hitrow[:, 0:3]
     v1 = hitrow[:, 3:6]
     v2 = hitrow[:, 6:9]
@@ -540,9 +662,12 @@ def _shade_ready(s, scene, textures, cfg: RenderConfig):
     ior = hitrow[:, 17]
     transmission = hitrow[:, 18]
 
-    if textures:
+    if textures and not defer_textured:
         # Planar projection, or interpolated per-vertex UVs where
         # present (beyond-reference, RenderConfig.uv_mapping).
+        # (With defer_textured the textured lanes were parked in READY
+        # above, every lane shaded here has tex_id < 0, and the tap
+        # gathers must not be in the per-step program at all.)
         t_u, t_v = planar_uv(x_hit, nrm, jnp.float32(cfg.tex_planar_scale))
         if cfg.uv_mapping and scene.has_uvs:
             b1, b2, okb = shade.barycentric(v0, v1, v2, x_hit)
@@ -679,6 +804,7 @@ def _shade_ready(s, scene, textures, cfg: RenderConfig):
 
     mode = s["mode"]
     mode = jnp.where(ready, REFILL, mode)  # default: path over
+    mode = jnp.where(deferred, READY, mode)  # textured -> shade tick
     cont = ready & alive
     mode = jnp.where(cont & ~has_shadow, TRAVERSE, mode)
     mode = jnp.where(shadow_fire, SHADOW, mode)
