@@ -98,10 +98,12 @@ def main() -> int:
                                         method=cfg.bvh_method,
                                         traversal=cfg.traversal)
     if cfg.shade_every < 1:
+        from tryraytrace_tpu.config import inline_resolved
         from tryraytrace_tpu.engine.device_scene import auto_shade_every
 
         cfg = cfg.replace(shade_every=auto_shade_every(
-            bvh, arrays, cfg.step_unroll))
+            bvh, arrays, cfg.step_unroll,
+            inline=inline_resolved(cfg, scene.num_lights)))
     log(f"[bench] scene: {arrays.num_objects} tris, BVH {bvh.num_nodes} "
         f"nodes ({cfg.bvh_method}), shade_every {cfg.shade_every}, "
         f"build+upload {time.time() - t0:.2f}s")

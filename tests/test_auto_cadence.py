@@ -7,8 +7,10 @@ resolves the cadence per scene from the build-time surface-ray visit
 probe (accel/bvh.estimate_surface_visits) as
 round((visits + 6) / step_unroll) clamped to [3, 8] -- the mapping
 reproduces every measured on-chip optimum (teapot 3, cow 4, teddy 4,
-flythrough 5; BASELINE.md).  Cadence is scheduling only: images are
-identical for any value.
+flythrough 5; BASELINE.md).  Under inline shading (the default where
+supported, config.inline_resolved) the tick only services textured
+hits and the optimum is a flat 8.  Cadence is scheduling only: images
+are identical for any value.
 """
 import numpy as np
 
@@ -25,6 +27,28 @@ def test_shallow_scene_resolves_to_floor():
     arrays = flatten_scene(create_cornell_box(mesh=None))
     _, _, bvh = upload_scene(arrays, device_put=False)
     assert auto_shade_every(bvh, arrays, step_unroll=4) == 3
+
+
+def test_inline_mode_resolves_flat_8():
+    # Inline shading decouples the tick from walk length (it only
+    # services textured hits): the cadence is a flat 8 regardless of
+    # scene depth (on-chip sweep, BASELINE.md round-2 inline table).
+    for arrays in (flatten_scene(create_cornell_box(mesh=None)),
+                   flatten_scene(create_cornell_box())):
+        _, _, bvh = upload_scene(arrays, device_put=False)
+        assert auto_shade_every(bvh, arrays, step_unroll=4,
+                                inline=True) == 8
+
+
+def test_renderer_resolves_inline_cadence():
+    # Default config on a 1-light scene runs inline (config.
+    # inline_resolved) and must get the inline cadence, not the tick
+    # mapping; a tick-path config (quota scheduler) must not.
+    arrays = flatten_scene(create_cornell_box(mesh=None))
+    base = RenderConfig(width=32, height=24, spp=2)
+    assert Renderer(arrays, cfg=base).cfg.shade_every == 8
+    assert Renderer(
+        arrays, cfg=base.replace(scheduler="quota")).cfg.shade_every == 3
 
 
 def test_probe_scales_with_scene_depth():

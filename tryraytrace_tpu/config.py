@@ -107,7 +107,9 @@ class RenderConfig:
     # (engine/device_scene.auto_shade_every) -- deeper scenes want
     # longer cadences, and the mapping reproduces every measured
     # on-chip optimum: teapot 3 (14.8 Mrays/s), cow 4 (+4%), teddy 4
-    # (+2%), flythrough 5 (+13%); see BASELINE.md.  A direct
+    # (+2%), flythrough 5 (+13%); see BASELINE.md.  Under inline
+    # shading (the default where supported) the tick only services
+    # textured hits and auto resolves to a flat 8.  A direct
     # render_frame call with an unresolved 0 falls back to 3, the
     # headline sweep optimum at (unroll, cadence) = (4, 3): 14.80
     # Mrays/s vs 14.38 at (4,2), 14.47 at (3,3), 13.97 at (6,2),
@@ -124,8 +126,11 @@ class RenderConfig:
     # images (the RNG is slot-addressed, so shade timing cannot
     # change what a lane draws).  Requires threaded traversal + owner
     # scheduler + <=1 light; silently falls back otherwise.
-    # None = auto (currently off pending on-chip measurement).
-    inline_shade: bool | None = False
+    # None = auto (the default): ON wherever supported -- measured
+    # faster on every bench config (teapot headline 14.79 -> 15.92
+    # Mrays/s, cow800 9.36 -> 10.07, flythrough 7.36 -> 7.65; see
+    # BASELINE.md round-2 inline table).
+    inline_shade: bool | None = None
     # Traversal scheme for the persistent engine: "fatnode" fetches
     # both child boxes at the parent (front-to-back by true entry
     # distance, register short-stack; ~0.5x the row fetches) or
@@ -214,6 +219,21 @@ class RenderConfig:
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
+
+
+def inline_resolved(cfg: RenderConfig, num_lights: int) -> bool:
+    """Whether the persistent engine will run inline shading for this
+    (config, scene) pair.  Single source of truth for the gate: the
+    engine (engine/persistent.py) and the auto-cadence resolvers
+    (Renderer/ShardedRenderer/bench) must agree, or the cadence would
+    be tuned for the wrong tick role.  Inline needs the threaded walk
+    (fatnode re-fetches rows at pop), the owner schedule (pool/quota
+    refill via their own claim arithmetic), and <=1 light (a per-lane
+    light-row gather would be a second gather per step)."""
+    ok = (cfg.traversal != "fatnode" and cfg.scheduler == "owner"
+          and num_lights <= 1)
+    want = cfg.inline_shade if cfg.inline_shade is not None else True
+    return bool(want) and ok
 
 
 DEFAULT_CONFIG = RenderConfig()

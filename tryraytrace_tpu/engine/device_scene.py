@@ -98,16 +98,28 @@ def _build_auto_leaf(arrays: SceneArrays, method: str):
 
 
 def auto_shade_every(bvh: LinearBVH, arrays: SceneArrays,
-                     step_unroll: int) -> int:
-    """Auto shading cadence for the persistent engine: steps between
-    shade ticks ~ (expected visits per ray segment + 6), so a lane
-    finishing an average-length walk waits well under one walk's worth
-    of steps for its tick.  Calibrated on-chip (BASELINE.md): the
-    measured optima are teapot 3 / cow 4 / teddy 4 / flythrough 5 at
-    unroll 4, and this mapping reproduces all of them from the
-    build-time surface-ray probe (accel/bvh.py
-    estimate_surface_visits).  Images are identical for any cadence
-    (scheduling only)."""
+                     step_unroll: int, inline: bool = False) -> int:
+    """Auto shading cadence for the persistent engine.
+
+    Tick path (``inline=False``): steps between shade ticks ~
+    (expected visits per ray segment + 6), so a lane finishing an
+    average-length walk waits well under one walk's worth of steps for
+    its tick.  Calibrated on-chip (BASELINE.md): the measured optima
+    are teapot 3 / cow 4 / teddy 4 / flythrough 5 at unroll 4, and
+    this mapping reproduces all of them from the build-time
+    surface-ray probe (accel/bvh.py estimate_surface_visits).
+
+    Inline path (``inline=True``, config.inline_resolved): lanes shade
+    and regenerate in-step, so the tick only services textured hits
+    and its cadence decouples from walk length -- the on-chip optimum
+    is a flat 8 iterations on every bench scene (teapot 15.75/15.92/
+    15.84 Mrays/s at 6/8/12; cow800 10.07 and flythrough 7.65 at 8 --
+    all above their tick-path optima; BASELINE.md round-2 inline
+    table).
+
+    Images are identical for any cadence (scheduling only)."""
+    if inline:
+        return 8
     from tryraytrace_tpu.accel.bvh import estimate_surface_visits
 
     visits = estimate_surface_visits(bvh, arrays.tri_v0, arrays.tri_v1,

@@ -38,7 +38,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tryraytrace_tpu.config import RenderConfig
+from tryraytrace_tpu.config import RenderConfig, inline_resolved
 from tryraytrace_tpu.core import rng, vec
 from tryraytrace_tpu.engine.camera_rays import generate_rays
 from tryraytrace_tpu.engine.wavefront import _sanitize
@@ -105,8 +105,11 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     col_ps = 6 + 9 * k
     # 0 = auto, resolved per scene by Renderer/ShardedRenderer/bench
     # (engine/device_scene.auto_shade_every); a direct render_frame
-    # call with an unresolved 0 gets the global sweep optimum 3.
-    shade_every = cfg.shade_every if cfg.shade_every >= 1 else 3
+    # call with an unresolved 0 gets the global sweep optimum (3 on
+    # the tick path, flat 8 under inline -- see auto_shade_every).
+    shade_every = (cfg.shade_every if cfg.shade_every >= 1
+                   else (8 if inline_resolved(cfg, scene.num_lights)
+                         else 3))
 
     # Work-stealing pool: the wave is (at most) max_wave_lanes wide and
     # lanes *claim* pixels from a shared pool as they retire them, so a
@@ -135,10 +138,10 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     # owner schedule + <=1 light (a per-lane light-row gather would be
     # a second gather per step; every bench scene has exactly 1 light,
     # and multi-light scenes keep the tick path whose single shared
-    # gather amortizes over the cadence).
-    inline_ok = (not fat) and (not pool) and scene.num_lights <= 1
-    inline = (bool(cfg.inline_shade) if cfg.inline_shade is not None
-              else False) and inline_ok
+    # gather amortizes over the cadence).  Default ON where supported
+    # (config.inline_resolved -- the single source of truth shared
+    # with the auto-cadence resolvers).
+    inline = inline_resolved(cfg, scene.num_lights)
     inline_ctx = None
     if inline:
         # Unified gather table: node rows first (traversal indices and

@@ -76,10 +76,12 @@ class Renderer:
             arrays, leaf_size=self.cfg.bvh_leaf_size,
             method=self.cfg.bvh_method, traversal=self.cfg.traversal)
         if self.cfg.shade_every < 1:
+            from tryraytrace_tpu.config import inline_resolved
             from tryraytrace_tpu.engine.device_scene import auto_shade_every
 
             self.cfg = self.cfg.replace(shade_every=auto_shade_every(
-                self.bvh, arrays, self.cfg.step_unroll))
+                self.bvh, arrays, self.cfg.step_unroll,
+                inline=inline_resolved(self.cfg, self.scene.num_lights)))
         self.state = RenderState.zeros(self.width * self.height)
         self.frame = 1  # gpu_frame counter parity (main.cpp:149)
         self._step_spp = None

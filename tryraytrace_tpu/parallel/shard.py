@@ -102,10 +102,12 @@ class ShardedRenderer:
                                             method=cfg.bvh_method,
                                             traversal=cfg.traversal)
         if cfg.shade_every < 1:
+            from tryraytrace_tpu.config import inline_resolved
             from tryraytrace_tpu.engine.device_scene import auto_shade_every
 
             self.cfg = cfg = cfg.replace(shade_every=auto_shade_every(
-                bvh, arrays, cfg.step_unroll))
+                bvh, arrays, cfg.step_unroll,
+                inline=inline_resolved(cfg, scene.num_lights)))
         repl = NamedSharding(self.mesh, P())
         self.scene = jax.device_put(scene, repl)
         self.textures = tuple(jax.device_put(t, repl) for t in textures)
