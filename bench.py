@@ -50,6 +50,9 @@ def main() -> int:
     ap.add_argument("--inline-shade", action=argparse.BooleanOptionalAction,
                     default=None, help="--inline-shade / --no-inline-shade "
                     "(default: config default)")
+    ap.add_argument("--inline-tex", action=argparse.BooleanOptionalAction,
+                    default=None, help="--inline-tex / --no-inline-tex "
+                    "(default: config default = auto)")
     ap.add_argument("--scheduler", default=None, help="owner | pool | quota")
     args = ap.parse_args()
 
@@ -90,6 +93,8 @@ def main() -> int:
         cfg = cfg.replace(dual_walk=args.dual_walk)
     if args.inline_shade is not None:
         cfg = cfg.replace(inline_shade=args.inline_shade)
+    if args.inline_tex is not None:
+        cfg = cfg.replace(inline_tex=args.inline_tex)
     if args.scheduler:
         cfg = cfg.replace(scheduler=args.scheduler)
 

@@ -6,9 +6,11 @@ Scheduling-only by construction -- the RNG is slot-addressed by
 (sample seed, pixel, depth), so shading a lane earlier cannot change
 what it draws -- but the program fuses differently, so equality is
 the engines' usual last-ULP budget (see test_persistent_engine).
-Textured hits are deferred to the shade tick (their bilinear taps
-stay out of the per-step program); unsupported combos (fatnode /
-pool / multi-light) silently fall back to the tick path.
+Textured hits fetch their bilinear footprint's tile row through the
+same gather slot (mode TEXG, cfg.inline_tex) or, past the tile-table
+budget, defer to the shade tick; multi-light NEE picks by a bit-exact
+where-chain select (config.INLINE_MAX_LIGHTS); unsupported combos
+(fatnode / pool / >16 lights) silently fall back to the tick path.
 """
 import numpy as np
 import pytest
@@ -53,6 +55,19 @@ def arrays_tex():
     return _arrays(textured=True)
 
 
+@pytest.fixture(scope="module")
+def arrays_2l():
+    # Cornell + a second emitter panel: num_lights == 3 exercises the
+    # where-chain light pick inside the inline step program.
+    scene = create_cornell_box(mesh=None)
+    for tri in (((20, 40, 598), (40, 40, 598), (40, 60, 598)),
+                ((20, 40, 598), (40, 60, 598), (20, 60, 598))):
+        scene.objects.append(Object(
+            v0=tri[0], v1=tri[1], v2=tri[2], albedo=(0, 0, 0),
+            emission=(8.0, 4.0, 1.0), roughness=1.0))
+    return flatten_scene(scene, textures=[checker_texture(32)])
+
+
 def test_inline_matches_tick_engine(arrays):
     a = _render(arrays)
     b = _render(arrays, inline_shade=True)
@@ -74,11 +89,124 @@ def test_inline_single_walk(arrays):
 
 
 def test_inline_unsupported_combo_falls_back(arrays):
-    # quota scheduler cannot inline-refill; inline_shade=True must
-    # silently run the tick path and stay correct.
-    a = _render(arrays, scheduler="quota")
-    b = _render(arrays, scheduler="quota", inline_shade=True)
+    # The pool scheduler cannot inline-refill (shared-counter claim);
+    # inline_shade=True must silently run the tick path and stay
+    # correct.
+    a = _render(arrays, scheduler="pool")
+    b = _render(arrays, scheduler="pool", inline_shade=True)
     np.testing.assert_array_equal(a, b)
+
+
+def test_inline_quota_matches_tick_quota(arrays):
+    # Quota under inline: in-step one-hot flush + pixel_pool_fn claim
+    # vs the tick-path quota.  Scheduling-only (slot-addressed RNG,
+    # per-pixel sample order unchanged), so the images agree to the
+    # engines' usual fusion-drift budget.
+    a = _render(arrays, scheduler="quota", inline_shade=False)
+    b = _render(arrays, scheduler="quota", inline_shade=True)
+    np.testing.assert_allclose(a, b, **_ULP)
+    assert a.max() > 0
+
+
+def test_inline_quota_matches_owner(arrays_tex):
+    # Same pixels, same per-pixel sample order -> quota inline must
+    # match owner inline (textured scene exercises TEXG under quota).
+    # dual_walk off so both accumulate samples in 0,1,2,... order.
+    a = _render(arrays_tex, scheduler="owner", dual_walk=False)
+    b = _render(arrays_tex, scheduler="quota")
+    np.testing.assert_allclose(a, b, **_ULP)
+
+
+def test_inline_quota_is_tick_free(arrays_tex):
+    _, dbg = _dbg_render(arrays_tex, scheduler="quota", inline_tex=True)
+    assert dbg["ticks"] == 0
+
+
+def test_inline_quota_chunked_exact(arrays):
+    # Chunked quota (n > pool_span) under inline: the affine
+    # pixel_pool_fn (with tail clamp) must reproduce the unchunked
+    # image -- chunking is pure scheduling (fusion-drift budget).
+    a = _render(arrays, scheduler="quota")
+    b = _render(arrays, scheduler="quota", pool_span=256,
+                max_wave_lanes=128)
+    np.testing.assert_allclose(a, b, **_ULP)
+
+
+def _dbg_render(arrays, **cfg_kw):
+    import jax
+    import jax.numpy as jnp
+
+    from tryraytrace_tpu.engine.device_scene import upload_scene
+    from tryraytrace_tpu.engine.persistent import render_frame_persistent
+
+    w, h, spp = 32, 16, 2
+    cfg = RenderConfig(width=w, height=h, spp=spp, shade_every=3,
+                       **cfg_kw)
+    scene, textures, _ = upload_scene(arrays, leaf_size=cfg.bvh_leaf_size,
+                                      method=cfg.bvh_method,
+                                      traversal=cfg.traversal)
+    cam = CameraController().get_params(w, h)
+    out, dbg = jax.jit(
+        lambda fs: render_frame_persistent(scene, textures, cam, fs, w,
+                                           h, cfg, spp, with_debug=True)
+    )(jnp.uint32(1))
+    return np.asarray(out), {k: float(v) for k, v in dbg.items()}
+
+
+def test_inline_tex_matches_tick_deferral(arrays_tex):
+    # Inline texturing (TEXG tile-row fetches through the step's
+    # gather slot) vs tick deferral: slot-addressed RNG and the
+    # bit-exact tile bilinear (ops/texture.tile_bilinear) make the
+    # images identical up to XLA fusion drift.
+    a = _render(arrays_tex, inline_tex=False)
+    b = _render(arrays_tex, inline_tex=True)
+    np.testing.assert_allclose(a, b, **_ULP)
+    assert a.max() > 0
+
+
+def test_inline_tex_is_tick_free(arrays_tex):
+    # With the tile table in play nothing is left for a tick to
+    # service; the tick-deferral path still needs them.
+    _, dbg_texg = _dbg_render(arrays_tex, inline_tex=True)
+    assert dbg_texg["ticks"] == 0
+    _, dbg_tick = _dbg_render(arrays_tex, inline_tex=False)
+    assert dbg_tick["ticks"] > 0
+
+
+def test_inline_tex_budget_fallback(arrays_tex):
+    # inline_tex=None (auto) must refuse a tile table past the gather
+    # budget and keep the tick path; the image is unchanged either way.
+    from tryraytrace_tpu.engine import persistent
+
+    old = persistent.TEX_TABLE_BUDGET_BYTES
+    persistent.TEX_TABLE_BUDGET_BYTES = 0
+    try:
+        _, dbg = _dbg_render(arrays_tex)
+        assert dbg["ticks"] > 0  # fell back to the tick deferral
+    finally:
+        persistent.TEX_TABLE_BUDGET_BYTES = old
+
+
+def test_inline_multi_light_matches_tick(arrays_2l):
+    # Multi-light NEE under inline shading: the light pick is a
+    # where-chain select (bit-exact vs the tick path's gather), so the
+    # images agree to the engines' usual fusion-drift budget.
+    a = _render(arrays_2l, inline_shade=False)
+    b = _render(arrays_2l, inline_shade=True)
+    np.testing.assert_allclose(a, b, **_ULP)
+    assert a.max() > 0
+
+
+def test_inline_multi_light_is_inline(arrays_2l):
+    # 3 lights <= INLINE_MAX_LIGHTS must resolve inline (tick-free with
+    # inline texturing); past the bound the tick path returns.
+    from tryraytrace_tpu.config import INLINE_MAX_LIGHTS, inline_resolved
+
+    cfg = RenderConfig()
+    assert inline_resolved(cfg, 3)
+    assert not inline_resolved(cfg, INLINE_MAX_LIGHTS + 1)
+    _, dbg = _dbg_render(arrays_2l, inline_tex=True)
+    assert dbg["ticks"] == 0
 
 
 def test_inline_ray_stats_match(arrays):

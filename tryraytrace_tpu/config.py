@@ -131,6 +131,15 @@ class RenderConfig:
     # Mrays/s, cow800 9.36 -> 10.07, flythrough 7.36 -> 7.65; see
     # BASELINE.md round-2 inline table).
     inline_shade: bool | None = None
+    # Inline texturing (only meaningful under inline shading): textured
+    # hits fetch their bilinear footprint's 5x5 apron tile row through
+    # the same per-step gather slot (mode TEXG, one extra serviced
+    # step) instead of parking in READY for a shade tick, making the
+    # engine fully tick-free.  None = auto: ON when the tiled texture
+    # rows fit the unified table's gather budget
+    # (persistent.TEX_TABLE_BUDGET_BYTES); True forces it past the
+    # budget check; False keeps the tick deferral.
+    inline_tex: bool | None = None
     # Traversal scheme for the persistent engine: "fatnode" fetches
     # both child boxes at the parent (front-to-back by true entry
     # distance, register short-stack; ~0.5x the row fetches) or
@@ -221,17 +230,31 @@ class RenderConfig:
         return dataclasses.replace(self, **kw)
 
 
+# Inline shading supports multi-light scenes by replacing the NEE
+# light-pick gather with a bit-exact where-chain select over the light
+# rows (elementwise, fuses into the step program for free); past this
+# bound the chain stops being obviously cheap and the engine keeps the
+# tick path, whose single shared gather amortizes over the cadence.
+INLINE_MAX_LIGHTS = 16
+
+
 def inline_resolved(cfg: RenderConfig, num_lights: int) -> bool:
     """Whether the persistent engine will run inline shading for this
     (config, scene) pair.  Single source of truth for the gate: the
     engine (engine/persistent.py) and the auto-cadence resolvers
     (Renderer/ShardedRenderer/bench) must agree, or the cadence would
     be tuned for the wrong tick role.  Inline needs the threaded walk
-    (fatnode re-fetches rows at pop), the owner schedule (pool/quota
-    refill via their own claim arithmetic), and <=1 light (a per-lane
-    light-row gather would be a second gather per step)."""
-    ok = (cfg.traversal != "fatnode" and cfg.scheduler == "owner"
-          and num_lights <= 1)
+    (fatnode re-fetches rows at pop), the owner or quota schedule
+    (quota's strided claim and one-hot flush are elementwise; pool's
+    shared-counter claim needs a cumsum per step), and few enough
+    lights that the NEE light pick is a where-chain select, not a
+    per-lane gather (a second gather per step).  Quota additionally
+    needs an affine pixel pool and one-hot alignment -- runtime
+    properties the engine checks itself (render_frame_persistent);
+    misaligned quota calls keep the tick path."""
+    ok = (cfg.traversal != "fatnode"
+          and cfg.scheduler in ("owner", "quota")
+          and num_lights <= INLINE_MAX_LIGHTS)
     want = cfg.inline_shade if cfg.inline_shade is not None else True
     return bool(want) and ok
 

@@ -15,6 +15,10 @@ threads kernel, but still fully lockstep-masked (TPU-friendly):
     | TRAVERSE                               (spec/refr continue)
     | REFILL --(next sample's camera ray)--> TRAVERSE | DONE
 
+(Under inline shading READY becomes SHADEG -- the shade rides the
+next serviced step's gather slot -- and textured hits take one more
+serviced step, TEXG, for their texture tile row; see _step.)
+
 Key properties:
   - closest-hit and shadow lanes *share the single node-row gather*
     per iteration (the dominant cost on TPU);
@@ -38,13 +42,24 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tryraytrace_tpu.config import RenderConfig, inline_resolved
+from tryraytrace_tpu.config import (INLINE_MAX_LIGHTS, RenderConfig,
+                                    inline_resolved)
 from tryraytrace_tpu.core import rng, vec
 from tryraytrace_tpu.engine.camera_rays import generate_rays
 from tryraytrace_tpu.engine.wavefront import _sanitize
 from tryraytrace_tpu.ops import shade
 from tryraytrace_tpu.ops.aabb import aabb_hit
-from tryraytrace_tpu.ops.texture import interp_uv, planar_uv, sample_textures
+from tryraytrace_tpu.ops.texture import (
+    TEX_ROW,
+    TEX_TILE,
+    build_texture_tiles,
+    interp_uv,
+    num_texture_tiles,
+    planar_uv,
+    sample_textures,
+    tile_bilinear,
+    tile_coords,
+)
 from tryraytrace_tpu.ops.traverse import (
     FATNODE_DEPTH,
     MISS_T,
@@ -67,6 +82,19 @@ DONE = 4
 # [node rows; trimat rows] table -- the same single gather slot every
 # step -- and shades right there instead of idling for the shade tick.
 SHADEG = 5
+# Inline texturing (cfg.inline_tex): a SHADEG lane whose hit is
+# textured spends ONE MORE serviced step gathering its bilinear
+# footprint's 5x5 apron tile row (ops/texture.py build_texture_tiles)
+# from the same unified table, then shades -- no lane ever waits for a
+# shade tick and the engine runs tick-free.  Material state crosses
+# the step in otherwise-dead lane state (so/sd/pend) plus the tstash
+# array; the tap weights ride tstash, the in-tile offsets ride hit_id.
+TEXG = 6
+# Texture tile rows admitted to the unified gather table before the
+# inline-tex path falls back to tick deferral: the table must stay
+# under the measured ~3 MB gather knee (docs/PERFORMANCE.md), and the
+# node+trimat rows already claim most of it on the bench scenes.
+TEX_TABLE_BUDGET_BYTES = 2 * 2**20
 
 
 def _lane_seed(frame_seed, seed_spp: int, sample):
@@ -78,7 +106,8 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
                             pixel_idx=None, with_stats: bool = False,
                             sample_offset: int = 0,
                             seed_spp: int | None = None,
-                            with_debug: bool = False):
+                            with_debug: bool = False,
+                            pixel_pool_fn=None):
     """All ``spp`` samples of one frame in a single regenerating wave.
     Returns the per-pixel radiance *sum* [N, 3] (+ ray stats).
 
@@ -92,6 +121,14 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     traversal cost unit, docs/PERFORMANCE.md), ``lane_steps`` the
     total lanes x steps issued, so visits/lane_steps = wave
     utilization and visits/ray = the BVH quality metric.
+
+    ``pixel_pool_fn`` (optional): an *elementwise* map from pool
+    position to absolute pixel id, semantically equal to
+    ``pixel_idx[pos]`` (the caller promises this).  When present it
+    lets the quota scheduler's refill claim its next pixel without a
+    per-lane gather, which is what admits quota to the inline
+    per-step program (a gather there would double the step's cost,
+    docs/PERFORMANCE.md).
     """
     seed_spp = spp if seed_spp is None else seed_spp
     n = width * height if pixel_idx is None else pixel_idx.shape[0]
@@ -135,13 +172,25 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     sample_stride = 2 if dual else 1
 
     # Inline shading (see _step): supported for the threaded walk +
-    # owner schedule + <=1 light (a per-lane light-row gather would be
-    # a second gather per step; every bench scene has exactly 1 light,
-    # and multi-light scenes keep the tick path whose single shared
-    # gather amortizes over the cadence).  Default ON where supported
+    # owner/quota schedules + <=INLINE_MAX_LIGHTS lights (the NEE
+    # light pick is then a where-chain select in _shade_finish, not a
+    # per-lane gather, so it may live in the step program; scenes past
+    # the bound keep the tick path whose single shared gather
+    # amortizes over the cadence).  Default ON where supported
     # (config.inline_resolved -- the single source of truth shared
     # with the auto-cadence resolvers).
     inline = inline_resolved(cfg, scene.num_lights)
+    if inline and cfg.scheduler == "quota":
+        # Quota's in-step refill must stay elementwise: the next-pixel
+        # claim needs pixel_pool_fn (no per-step gather) and the
+        # radiance flush needs the one-hot FMA alignment (full-width
+        # column-owned pool grid; the scatter fallback inside the loop
+        # costs +255%, docs/PERFORMANCE.md).  Misaligned calls keep
+        # the tick path, whose shared gathers amortize over the
+        # cadence.
+        inline = (pixel_pool_fn is not None
+                  and cfg.quota_accum == "onehot"
+                  and n % w == 0)
     inline_ctx = None
     if inline:
         # Unified gather table: node rows first (traversal indices and
@@ -151,19 +200,37 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
         # table bytes to stay under the ~3 MB gather knee).
         nw = table.shape[1]
         pack = 2 if nw >= 74 else 1
-        wu = max(nw, 37 * pack)
+        # Inline texturing: append the tiled texture rows too (one row
+        # serves a whole bilinear footprint) when they fit the gather
+        # budget; otherwise textured hits keep the tick deferral.
+        want_tex = (cfg.inline_tex if cfg.inline_tex is not None
+                    else True)
+        tex_on = bool(textures) and want_tex and (
+            cfg.inline_tex is True
+            or (num_texture_tiles(textures)
+                * max(nw, 37 * pack, TEX_ROW) * 4
+                <= TEX_TABLE_BUDGET_BYTES))
+        wu = max(nw, 37 * pack, TEX_ROW if tex_on else 0)
         tm = scene.trimat
         if pack == 2 and tm.shape[0] % 2:
             tm = jnp.pad(tm, ((0, 1), (0, 0)))
         packed = tm.reshape(-1, 37 * pack)
         packed = jnp.pad(packed, ((0, 0), (0, wu - 37 * pack)))
-        table = jnp.concatenate(
-            [jnp.pad(table, ((0, 0), (0, wu - nw))), packed], axis=0)
+        parts = [jnp.pad(table, ((0, 0), (0, wu - nw))), packed]
+        tex_ctx = None
+        if tex_on:
+            tex_rows, tex_metas, _ = build_texture_tiles(textures)
+            parts.append(jnp.pad(tex_rows,
+                                 ((0, 0), (0, wu - TEX_ROW))))
+            tex_ctx = dict(tex0=sentinel + packed.shape[0],
+                           metas=tex_metas)
+        table = jnp.concatenate(parts, axis=0)
         inline_ctx = dict(
             pack=pack, scene=scene, textures=textures, cfg=cfg, cam=cam,
             frame_seed=frame_seed, pixel_pool=pixel_idx, width=width,
             height=height, spp=spp, sample_offset=sample_offset,
-            seed_spp=seed_spp, sample_stride=sample_stride, stride=w)
+            seed_spp=seed_spp, sample_stride=sample_stride, stride=w,
+            tex=tex_ctx, n_items=n_items, pool_fn=pixel_pool_fn)
 
     f3 = lambda: jnp.zeros((w, 3), jnp.float32)
 
@@ -173,7 +240,15 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
                            sample0 + jnp.int32(sample_offset))
         pix0 = pixel_idx[:w]
         r_o, r_d = generate_rays(cam, width, height, seed0, pix0)
+        extra = {}
+        if inline_ctx is not None and inline_ctx["tex"] is not None:
+            # TEXG material stash (albedo, metallic, roughness, ior,
+            # transmission, fx, fy, front-face bit); nl/nl_off/emission
+            # ride the dead so/sd/pend slots, the in-tile offsets ride
+            # hit_id.
+            extra["tstash"] = jnp.zeros((w, 10), jnp.float32)
         return dict(
+            **extra,
             mode=jnp.full((w,), TRAVERSE, jnp.int32),
             cur=jnp.zeros((w,), jnp.int32),
             d_min=jnp.full((w,), MISS_T),
@@ -257,7 +332,14 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     # near-empty (measured 60% of lane-steps idle in DONE without it).
     floor_w = min(w, 64)
     spill_widths: list[int] = []
-    if cfg.tail_spill:
+    if inline_ctx is not None and pool:
+        # Inline quota: compaction would break the one-hot flush's
+        # column ownership (spilled stages fall to the in-loop scatter,
+        # +255%), and quota's tail is already short -- each lane drains
+        # ~n/w pixels, so straggler variance is averaged, which is the
+        # whole point of the schedule.  No ladder.
+        pass
+    elif cfg.tail_spill:
         for si in range(1, max(1, cfg.spill_stages) + 1):
             sw = max(w >> si, floor_w)
             if sw >= w or (spill_widths and sw >= spill_widths[-1]):
@@ -296,10 +378,13 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
                 s = step_fn(s, table, sentinel, k, col_ps, inline_ctx,
                             u == step_unroll - 1)
 
-            if inline_ctx is not None and not textures:
-                # Tick-free: shading, regeneration and retirement all
-                # happen in-step; there is nothing left for a tick to
-                # service (READY only ever holds textured hits).
+            if inline_ctx is not None and (not textures
+                                           or inline_ctx["tex"]
+                                           is not None):
+                # Tick-free: shading, texturing (TEXG tile rows),
+                # regeneration and retirement all happen in-step;
+                # READY never occurs, so there is nothing for a tick
+                # to service.
                 return s
 
             def tick(ss):
@@ -336,7 +421,8 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
                     s["dbg_ctx_done"] += (mm == DONE).sum().astype(
                         jnp.float32)
                     s["dbg_ctx_wait"] += ((mm == READY)
-                                          | (mm == REFILL)).sum().astype(
+                                          | (mm == REFILL)
+                                          | (mm == TEXG)).sum().astype(
                         jnp.float32)
                     s["dbg_ctx_steps"] += jnp.float32(mm.shape[0])
             if not dual:
@@ -356,9 +442,11 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
                 b_act = ((s["b.mode"] == TRAVERSE)
                          | (s["b.mode"] == SHADOW)
                          | (s["b.mode"] == SHADEG))
-                a_pend = (s["mode"] == READY) | (s["mode"] == REFILL)
+                a_pend = ((s["mode"] == READY) | (s["mode"] == REFILL)
+                          | (s["mode"] == TEXG))
                 b_pend = ((s["b.mode"] == READY)
-                          | (s["b.mode"] == REFILL))
+                          | (s["b.mode"] == REFILL)
+                          | (s["b.mode"] == TEXG))
                 alt = (s["it"] % 2) == 0
                 tick_now = ((s["it"] % shade_every) == (shade_every - 1)
                             if shade_every > 1 else True)
@@ -446,12 +534,18 @@ def _step(s, table, sentinel, k: int, col_ps: int, inline=None,
 
     With ``inline`` (cfg.inline_shade), the same gather slot also
     serves SHADEG lanes: ``table`` is the unified [node rows; packed
-    trimat rows] table, a lane whose walk finished last step fetches
-    its hit triangle's material row THIS step and shades right here
-    (_shade_core), and terminated lanes regenerate in-step (_refill,
-    owner schedule) -- no lane ever waits for a shade tick except
-    textured hits, which are deferred to the (now rare) tick because
-    their bilinear tap gathers must stay out of the per-step program.
+    trimat rows; texture tile rows] table, a lane whose walk finished
+    last step fetches its hit triangle's material row THIS step and
+    shades right here, and terminated lanes regenerate in-step
+    (_refill, owner schedule).  Textured hits take ONE more serviced
+    step (mode TEXG): their bilinear footprint's 5x5 apron tile row
+    (ops/texture.build_texture_tiles) rides the same slot next time
+    and the shade completes from the stash -- the raw 4-tap gathers
+    must stay out of the per-step program (measured -16% when
+    forced), and with the tile region in play the engine is fully
+    tick-free.  If the tile rows exceed the gather budget
+    (TEX_TABLE_BUDGET_BYTES), textured hits park in READY for the
+    shade tick instead.
     """
     live_t = s["mode"] == TRAVERSE
     live_s = s["mode"] == SHADOW
@@ -459,12 +553,17 @@ def _step(s, table, sentinel, k: int, col_ps: int, inline=None,
 
     idx = jnp.where(stepping, jnp.minimum(s["cur"], sentinel - 1), 0)
     service = service and inline is not None
+    tex_ctx = inline.get("tex") if service else None
     if service:
         live_g = s["mode"] == SHADEG
         pack = inline["pack"]
         sid = jnp.maximum(s["hit_id"], 0)
         shade_idx = sentinel + (sid >> 1 if pack == 2 else sid)
         idx = jnp.where(live_g, shade_idx, idx)
+        if tex_ctx is not None:
+            # TEXG lanes stored their absolute tile-row index in cur.
+            live_x = s["mode"] == TEXG
+            idx = jnp.where(live_x, s["cur"], idx)
     row = table[idx]
 
     ls3 = live_s[..., None]
@@ -534,18 +633,53 @@ def _step(s, table, sentinel, k: int, col_ps: int, inline=None,
                              row[:, 37:74], row[:, 0:37])
         else:
             trow = row[:, 0:37]
-        out = _shade_core(out, trow, live_g, inline["scene"],
-                          inline["textures"], inline["cfg"],
-                          defer_textured=True)
-        # In-step path regeneration (owner schedule: all elementwise,
-        # no gathers) -- REFILL lanes created by the shade above or
-        # the miss/shadow transitions regenerate before the next step.
+        # One _shade_finish instance serves both SHADEG lanes (material
+        # row gathered this step) and TEXG lanes (tile row gathered
+        # this step + material from last service's stash): prepare
+        # handles the SHADEG side (parking NEW textured hits in TEXG),
+        # then the TEXG side is muxed into its inputs.
+        out, ready_u, deferred, qq = _shade_prepare(
+            out, trow, live_g, inline["scene"], inline["textures"],
+            inline["cfg"], defer_textured=True, inline_tex=tex_ctx)
+        m_all = ready_u
+        if tex_ctx is not None:
+            ts = out["tstash"]
+            offx = jnp.maximum(s["hit_id"], 0) % TEX_TILE
+            offy = jnp.maximum(s["hit_id"], 0) // TEX_TILE % TEX_TILE
+            factor = tile_bilinear(row, offx, offy, ts[:, 7], ts[:, 8])
+            lx3 = live_x[..., None]
+            front3 = (ts[:, 9] > 0.0)[..., None]
+            nl_x = out["so"]
+            qq = dict(qq)
+            qq["nl"] = jnp.where(lx3, nl_x, qq["nl"])
+            qq["nrm"] = jnp.where(lx3, jnp.where(front3, nl_x, -nl_x),
+                                  qq["nrm"])
+            qq["nl_off"] = jnp.where(lx3, out["sd"], qq["nl_off"])
+            qq["albedo"] = jnp.where(lx3, ts[:, 0:3] * factor,
+                                     qq["albedo"])
+            qq["emission"] = jnp.where(lx3, out["pend"], qq["emission"])
+            qq["metallic"] = jnp.where(live_x, ts[:, 3], qq["metallic"])
+            qq["roughness"] = jnp.where(live_x, ts[:, 4],
+                                        qq["roughness"])
+            qq["ior"] = jnp.where(live_x, ts[:, 5], qq["ior"])
+            qq["transmission"] = jnp.where(live_x, ts[:, 6],
+                                           qq["transmission"])
+            m_all = ready_u | live_x
+        out = _shade_finish(out, m_all, deferred, qq, inline["scene"],
+                            inline["cfg"])
+        # In-step path regeneration (all elementwise, no gathers:
+        # owner refills its own pixel's next sample; quota claims
+        # pos+stride with the pixel_pool_fn map and flushes by one-hot
+        # FMA) -- REFILL lanes created by the shade above or the
+        # miss/shadow transitions regenerate before the next step.
         out = _refill(out, inline["cam"], inline["frame_seed"],
                       inline["pixel_pool"], inline["width"],
                       inline["height"], inline["cfg"], inline["spp"],
                       inline["sample_offset"], inline["seed_spp"],
-                      inline["sample_stride"], n_items=0,
-                      stride=inline["stride"])
+                      inline["sample_stride"],
+                      n_items=inline["n_items"],
+                      stride=inline["stride"],
+                      pool_fn=inline["pool_fn"])
     return out
 
 
@@ -625,34 +759,51 @@ def _shade_ready(s, scene, textures, cfg: RenderConfig):
 
 
 def _shade_core(s, hitrow, mask, scene, textures, cfg: RenderConfig,
-                defer_textured: bool = False):
+                defer_textured: bool = False, inline_tex=None):
     """The reference shading block (renderer.cu:427-733) over the
     lanes in ``mask``, with ``hitrow`` their (already-gathered) fused
     triangle+material rows.  RNG is slot-addressed by the lane's own
     (sample seed, pixel, depth), so WHEN a lane is shaded cannot
     change WHAT it draws -- the tick path (_shade_ready) and the
-    inline path (SHADEG lanes in _step) produce identical paths.
+    inline paths (SHADEG/TEXG lanes in _step) produce identical paths.
 
-    ``defer_textured``: leave textured hits un-shaded in READY for the
-    shade tick instead (the inline path cannot afford their extra
-    bilinear tap gathers per step; the tick redraws the same RNG
-    slots, so deferral is exact)."""
+    ``defer_textured``: textured hits are not shaded here -- without
+    ``inline_tex`` they park in READY for the shade tick (which
+    redraws the same RNG slots, so deferral is exact); with
+    ``inline_tex`` (the tiled-texture region of the unified gather
+    table) they transition to TEXG with their material stashed, fetch
+    their bilinear footprint's tile row through the per-step gather
+    slot on the next serviced step, and shade there."""
+    s, ready, deferred, q = _shade_prepare(s, hitrow, mask, scene,
+                                           textures, cfg, defer_textured,
+                                           inline_tex)
+    return _shade_finish(s, ready, deferred, q, scene, cfg)
+
+
+def _shade_prepare(s, hitrow, mask, scene, textures, cfg: RenderConfig,
+                   defer_textured: bool = False, inline_tex=None):
+    """Geometry/material extraction half of the shading block: normals,
+    texture factor (or TEXG deferral), smooth shading.  Returns
+    (s, ready, deferred, q) where q holds the per-lane quantities
+    _shade_finish consumes -- the split lets the inline-tex path feed
+    finish from its stash instead of a material row, with the RNG/
+    branch/NEE body instantiated once per step program."""
     ready = mask
-    seed = s["seed"]
-    pixel_idx = s["pix"]
     found = s["hit_id"] >= 0
     deferred = jnp.zeros_like(ready)
     if defer_textured and textures:
         textured = hitrow[:, 19] >= 0.0
+        if inline_tex is not None:
+            # Out-of-range slots sample as factor 1 (sample_textures);
+            # shade them immediately instead of tiling garbage.
+            textured = textured & (hitrow[:, 19] < len(textures))
         deferred = ready & found & textured
         ready = ready & ~deferred
-    alive = ready & found  # miss -> path ends (renderer.cu:427)
 
     v0 = hitrow[:, 0:3]
     v1 = hitrow[:, 3:6]
     v2 = hitrow[:, 6:9]
-    o, d, tp, rad = s["o"], s["d"], s["tp"], s["rad"]
-    depth = s["depth"]
+    o, d = s["o"], s["d"]
     x_hit = o + d * s["d_min"][..., None]
 
     nrm = vec.norm(vec.cross(v1 - v0, v2 - v0, jnp), jnp)
@@ -665,12 +816,10 @@ def _shade_core(s, hitrow, mask, scene, textures, cfg: RenderConfig,
     ior = hitrow[:, 17]
     transmission = hitrow[:, 18]
 
-    if textures and not defer_textured:
+    t_u = t_v = None
+    if textures and (not defer_textured or inline_tex is not None):
         # Planar projection, or interpolated per-vertex UVs where
         # present (beyond-reference, RenderConfig.uv_mapping).
-        # (With defer_textured the textured lanes were parked in READY
-        # above, every lane shaded here has tex_id < 0, and the tap
-        # gathers must not be in the per-step program at all.)
         t_u, t_v = planar_uv(x_hit, nrm, jnp.float32(cfg.tex_planar_scale))
         if cfg.uv_mapping and scene.has_uvs:
             b1, b2, okb = shade.barycentric(v0, v1, v2, x_hit)
@@ -678,9 +827,13 @@ def _shade_core(s, hitrow, mask, scene, textures, cfg: RenderConfig,
             use_uv = (hitrow[:, 36] > 0.0) & okb
             t_u = jnp.where(use_uv, iu, t_u)
             t_v = jnp.where(use_uv, iv, t_v)
-        factor = sample_textures(
-            textures, hitrow[:, 19].astype(jnp.int32), t_u, t_v)
-        albedo = albedo * factor
+        if not defer_textured:
+            # Tick path: 4-tap bilinear gathers, applied immediately.
+            # (With deferral the tap gathers must not be in the
+            # per-step program at all -- measured -16% when forced.)
+            factor = sample_textures(
+                textures, hitrow[:, 19].astype(jnp.int32), t_u, t_v)
+            albedo = albedo * factor
 
     # Ray-offset origins always use the geometric front-face normal
     # (self-intersection robustness); with smooth shading on, every
@@ -691,6 +844,61 @@ def _shade_core(s, hitrow, mask, scene, textures, cfg: RenderConfig,
                                   hitrow[:, 24:27], hitrow[:, 27:30],
                                   x_hit, nrm)
         nl = jnp.where((vec.dot(nrm, d, jnp) < 0.0)[..., None], nrm, -nrm)
+
+    if inline_tex is not None and textures:
+        # TEXG transition: stash everything the finish body will need
+        # (the tile row takes the gather slot next serviced step, so
+        # the material row is gone).  nrm is reconstructed from nl and
+        # the front-face bit: nl == nrm when dot(nrm, d) < 0 else -nrm,
+        # and negation is exact.
+        trow_i, offx, offy, fx, fy = tile_coords(
+            textures, inline_tex["metas"],
+            hitrow[:, 19].astype(jnp.int32), t_u, t_v)
+        front = vec.dot(nrm, d, jnp) < 0.0
+        t3 = deferred[..., None]
+        s = dict(s)
+        s["so"] = jnp.where(t3, nl, s["so"])
+        s["sd"] = jnp.where(t3, nl_off, s["sd"])
+        s["pend"] = jnp.where(t3, emission, s["pend"])
+        stash = jnp.concatenate(
+            [albedo, metallic[..., None], roughness[..., None],
+             ior[..., None], transmission[..., None], fx[..., None],
+             fy[..., None], front[..., None].astype(jnp.float32)],
+            axis=-1)
+        s["tstash"] = jnp.where(t3, stash, s["tstash"])
+        s["mode"] = jnp.where(deferred, TEXG, s["mode"])
+        s["cur"] = jnp.where(deferred, inline_tex["tex0"] + trow_i,
+                             s["cur"])
+        s["hit_id"] = jnp.where(deferred, offy * TEX_TILE + offx,
+                                s["hit_id"])
+        deferred = jnp.zeros_like(deferred)
+
+    q = dict(x_hit=x_hit, nrm=nrm, nl=nl, nl_off=nl_off, albedo=albedo,
+             emission=emission, metallic=metallic, roughness=roughness,
+             ior=ior, transmission=transmission)
+    return s, ready, deferred, q
+
+
+def _shade_finish(s, ready, deferred, q, scene, cfg: RenderConfig):
+    """RNG/branch/NEE half of the shading block (renderer.cu:487-733):
+    emitter accumulation, Russian roulette, the spec/trans/diff branch
+    select, NEE shadow-segment setup, and the mode transitions."""
+    seed = s["seed"]
+    pixel_idx = s["pix"]
+    found = s["hit_id"] >= 0
+    alive = ready & found  # miss -> path ends (renderer.cu:427)
+    o, d, tp, rad = s["o"], s["d"], s["tp"], s["rad"]
+    depth = s["depth"]
+    x_hit = q["x_hit"]
+    nrm = q["nrm"]
+    nl = q["nl"]
+    nl_off = q["nl_off"]
+    albedo = q["albedo"]
+    emission = q["emission"]
+    metallic = q["metallic"]
+    roughness = q["roughness"]
+    ior = q["ior"]
+    transmission = q["transmission"]
 
     rad = rad + jnp.where((alive & s["prev_spec"])[..., None],
                           tp * emission, 0.0)
@@ -753,8 +961,21 @@ def _shade_core(s, hitrow, mask, scene, textures, cfg: RenderConfig,
         else:
             pick = jnp.clip((u4 * (lcount - 0.001)).astype(jnp.int32), 0,
                             lcount - 1)
-            li = scene.light_indices[pick]
-            lrow = scene.trimat[li]
+            if lcount <= INLINE_MAX_LIGHTS:
+                # Few lights: a where-chain select over the (loop-
+                # invariant) light rows is pure selection -- bit-exact
+                # vs the gather and, unlike it, elementwise, so it may
+                # live in the inline per-step program without claiming
+                # a second gather slot (config.inline_resolved gate).
+                lrows = scene.trimat[scene.light_indices]
+                lrow = jnp.broadcast_to(lrows[0],
+                                        (u4.shape[0], lrows.shape[1]))
+                for kk in range(1, lcount):
+                    lrow = jnp.where((pick == kk)[..., None], lrows[kk],
+                                     lrow)
+            else:
+                li = scene.light_indices[pick]
+                lrow = scene.trimat[li]
         lv0, lv1, lv2 = lrow[:, 0:3], lrow[:, 3:6], lrow[:, 6:9]
         light_pos = shade.sample_triangle(lv0, lv1, lv2, u5, u6)
         to_light = light_pos - x_hit
@@ -838,7 +1059,7 @@ def _shade_core(s, hitrow, mask, scene, textures, cfg: RenderConfig,
 def _refill(s, cam, frame_seed, pixel_pool, width, height,
             cfg: RenderConfig, spp: int, sample_offset: int,
             seed_spp: int, sample_stride: int = 1, n_items: int = 0,
-            stride: int = 0):
+            stride: int = 0, pool_fn=None):
     """Path regeneration: flush the finished sample's radiance through
     the reference's sanitation filters (renderer.cu:737-759) and start
     the lane's next sample.  When the lane's pixel is out of samples:
@@ -882,8 +1103,12 @@ def _refill(s, cam, frame_seed, pixel_pool, width, height,
                 upd, unique_indices=True, mode="promise_in_bounds")
         newpos = s["pos"] + stride
         have = pixel_done & (newpos < n_items)
-        pix = jnp.where(
-            have, pixel_pool[jnp.minimum(newpos, n_items - 1)], s["pix"])
+        safe = jnp.minimum(newpos, n_items - 1)
+        # pool_fn is the elementwise pixel_idx[pos] map (see
+        # render_frame_persistent): required in the inline per-step
+        # program, where the gather would claim a second slot.
+        nextpix = pool_fn(safe) if pool_fn is not None else pixel_pool[safe]
+        pix = jnp.where(have, nextpix, s["pix"])
         new_sample = jnp.where(pixel_done, 0,
                                jnp.where(refill, next_sample, s["sample"]))
         start = refill & (~exhausted | have)

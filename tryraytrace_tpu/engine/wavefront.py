@@ -353,10 +353,18 @@ def render_frame(scene, textures, cam, frame_seed, width: int, height: int,
             def body(c, carry):
                 acc, tr_all, sh_all = carry
                 pix = jax.lax.dynamic_slice(all_pix, (c * chunk,), (chunk,))
+                # With the implicit pixel space (pixel_idx None) the
+                # chunk's pool is affine-with-clamp -- hand the engine
+                # the elementwise map so quota's in-step refill needs
+                # no gather (render_frame_persistent pixel_pool_fn).
+                pool_fn = ((lambda j: jnp.minimum(
+                    jnp.int32(c * chunk) + j, jnp.int32(n - 1)))
+                    if pixel_idx is None else None)
                 rad, (tr, sh) = render_frame_persistent(
                     scene, textures, cam, frame_seed, width, height, cfg,
                     spp, pixel_idx=pix, with_stats=True,
-                    sample_offset=sample_offset, seed_spp=seed_spp)
+                    sample_offset=sample_offset, seed_spp=seed_spp,
+                    pixel_pool_fn=pool_fn)
                 acc = jax.lax.dynamic_update_slice(acc, rad, (c * chunk, 0))
                 return acc, tr_all + tr, sh_all + sh
 
@@ -372,7 +380,10 @@ def render_frame(scene, textures, cam, frame_seed, width: int, height: int,
                                        pixel_idx=pixel_idx,
                                        with_stats=with_stats,
                                        sample_offset=sample_offset,
-                                       seed_spp=seed_spp)
+                                       seed_spp=seed_spp,
+                                       pixel_pool_fn=(
+                                           (lambda j: j)
+                                           if pixel_idx is None else None))
     if cfg.engine != "bounce":
         raise ValueError(f"unknown engine {cfg.engine!r}")
 

@@ -10,6 +10,18 @@ renderer.cu:463-481 (axis by dominant normal, scale 0.01, V flip).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
+
+# Tiled-texture gather rows (persistent engine inline shading): the
+# texture is cut into TEX_TILE x TEX_TILE base tiles, each stored as a
+# (TEX_TILE+1)^2-texel row with a one-texel wrap apron on the right and
+# bottom, so ANY bilinear 2x2 footprint whose lower tap falls inside
+# the base tile is served by ONE row fetch from the engine's unified
+# gather table (docs/PERFORMANCE.md: the per-step row gather is the
+# scarce resource; its width is free to >= 112 f32).
+TEX_TILE = 4
+TEX_APRON = TEX_TILE + 1
+TEX_ROW = TEX_APRON * TEX_APRON * 3  # 75 f32 per tile row
 
 
 def sample_bilinear_wrap(tex, u, v, xp=jnp):
@@ -75,6 +87,99 @@ def interp_uv(uv_row, b1, b2, xp=jnp):
     u = uv_row[..., 0] * b0 + uv_row[..., 2] * b1 + uv_row[..., 4] * b2
     v = uv_row[..., 1] * b0 + uv_row[..., 3] * b1 + uv_row[..., 5] * b2
     return u, 1.0 - v
+
+
+def build_texture_tiles(textures, xp=jnp):
+    """Pack ``textures`` (tuple of [H,W,3]) into tiled gather rows.
+
+    Returns (rows [R, TEX_ROW], metas, R) where metas[k] =
+    {offset, tiles_x, w, h} locates texture k's tile grid inside the
+    row block.  Tile (ty, tx) of texture k is row
+    ``offset + ty*tiles_x + tx`` and holds texels
+    (TEX_TILE*ty + i) % H x (TEX_TILE*tx + j) % W for i, j in
+    [0, TEX_APRON) in [py][px][rgb] order -- the wrap happens here at
+    build time, so tile_bilinear needs no modular arithmetic.
+    """
+    rows, metas, off = [], [], 0
+    for tex in textures:
+        h, w = int(tex.shape[0]), int(tex.shape[1])
+        tx = -(-w // TEX_TILE)
+        ty = -(-h // TEX_TILE)
+        gy = (np.arange(ty, dtype=np.int64)[:, None] * TEX_TILE
+              + np.arange(TEX_APRON, dtype=np.int64)[None, :]) % h
+        gx = (np.arange(tx, dtype=np.int64)[:, None] * TEX_TILE
+              + np.arange(TEX_APRON, dtype=np.int64)[None, :]) % w
+        idx = gy[:, None, :, None] * w + gx[None, :, None, :]
+        flat = tex.reshape(h * w, 3)
+        rows.append(flat[idx.reshape(-1)].reshape(ty * tx, TEX_ROW))
+        metas.append(dict(offset=off, tiles_x=tx, w=w, h=h))
+        off += ty * tx
+    return xp.concatenate(rows, axis=0), metas, off
+
+
+def num_texture_tiles(textures) -> int:
+    """Row count build_texture_tiles would produce (for budget gates,
+    without touching device memory)."""
+    return sum((-(-int(t.shape[1]) // TEX_TILE))
+               * (-(-int(t.shape[0]) // TEX_TILE)) for t in textures)
+
+
+def tile_coords(textures, metas, tex_id, u, v, xp=jnp):
+    """Per-lane (tile_row, offx, offy, fx, fy) addressing the tiled
+    rows of build_texture_tiles, with tap arithmetic identical to
+    sample_bilinear_wrap (texel centers at (i+0.5)/W, wrap) so
+    tile_bilinear reproduces its result bit for bit.  Lanes whose
+    tex_id matches no texture get row 0 / zero weights (callers must
+    not select them)."""
+    zi = xp.zeros_like(tex_id)
+    zf = xp.zeros_like(u)
+    trow, offx, offy, fx, fy = zi, zi, zi, zf, zf
+    for k, m in enumerate(metas):
+        h, w = m["h"], m["w"]
+        x = (u - xp.floor(u)) * w - 0.5
+        y = (v - xp.floor(v)) * h - 0.5
+        x0 = xp.floor(x)
+        y0 = xp.floor(y)
+        x0i = x0.astype(xp.int32) % w
+        y0i = y0.astype(xp.int32) % h
+        tx = x0i // TEX_TILE
+        ty = y0i // TEX_TILE
+        sel = tex_id == k
+        trow = xp.where(sel, m["offset"] + ty * m["tiles_x"] + tx, trow)
+        offx = xp.where(sel, x0i - tx * TEX_TILE, offx)
+        offy = xp.where(sel, y0i - ty * TEX_TILE, offy)
+        fx = xp.where(sel, x - x0, fx)
+        fy = xp.where(sel, y - y0, fy)
+    return trow, offx, offy, fx, fy
+
+
+def tile_bilinear(row, offx, offy, fx, fy, xp=jnp):
+    """Bilinear sample from gathered tile rows [N, >=TEX_ROW] (one row
+    per lane, fetched through the engine's unified gather table).
+
+    The four taps are extracted by one-hot select over the 5x5 apron
+    grid (exact -- a single nonzero term per sum; per-lane dynamic
+    indexing would be a second gather) and combined with the same
+    top/bottom lerp association as sample_bilinear_wrap, so the result
+    is bit-identical to the 4-tap path."""
+    r = row[:, :TEX_ROW].reshape(-1, TEX_APRON, TEX_APRON, 3)
+    i5 = xp.arange(TEX_APRON, dtype=offx.dtype)
+    py0 = i5[None, :] == offy[:, None]
+    py1 = i5[None, :] == (offy + 1)[:, None]
+    px0 = i5[None, :] == offx[:, None]
+    px1 = i5[None, :] == (offx + 1)[:, None]
+
+    def tap(py, px):
+        sel = (py[:, :, None] & px[:, None, :])[..., None]
+        return (r * sel).sum(axis=(1, 2))
+
+    c00, c10 = tap(py0, px0), tap(py0, px1)
+    c01, c11 = tap(py1, px0), tap(py1, px1)
+    fx3 = fx[..., None]
+    fy3 = fy[..., None]
+    top = c00 * (1.0 - fx3) + c10 * fx3
+    bot = c01 * (1.0 - fx3) + c11 * fx3
+    return top * (1.0 - fy3) + bot * fy3
 
 
 def sample_textures(textures, tex_id, u, v, xp=jnp):
