@@ -8,14 +8,6 @@ authoritative override.
 
 import os
 
-# The sandbox's host machine can change between sessions; JAX's
-# persistent compilation cache then holds AOT blobs compiled for a
-# different CPU (observed: machine-feature mismatch warnings, then a
-# hard segfault inside put_executable_and_time during a cache write).
-# Tests recompile cheaply on CPU -- run them cache-free.
-os.environ["TPURT_NO_JAX_CACHE"] = "1"
-os.environ.setdefault("JAX_ENABLE_COMPILATION_CACHE", "false")
-
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -26,6 +18,17 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# The sandbox's host machine can change between sessions, and a stale
+# cross-machine persistent cache used to segfault on cache writes --
+# so tests ran cache-free.  The cache directory is now keyed by a host
+# CPU fingerprint (utils/jaxtools.host_fingerprint), which makes other
+# machines' AOT blobs unreachable; with that fixed, tests use the
+# persistent cache: on a small host one engine compile takes ~20 min
+# on XLA:CPU, and suite re-runs would otherwise take hours.
+from tryraytrace_tpu.utils.jaxtools import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 
 def pytest_sessionstart(session):

@@ -79,6 +79,24 @@ def test_sharded_wave_chunking_bit_identical(arrays):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_sharded_quota_bit_identical(arrays):
+    # Quota scheduler under shard_map: the shard's contiguous pixel
+    # block is passed with its affine base (shard.py -> render_frame
+    # pixel_affine_base), so quota runs its inline in-step refill on
+    # every shard; sp=1 means no reduction and the image must equal
+    # the single-chip quota render bit for bit.
+    w, h, spp = 32, 16, 8
+    r = Renderer(arrays, cfg=RenderConfig(width=w, height=h, spp=spp,
+                                          scheduler="quota"))
+    cam = CameraController()
+    p = cam.get_params(w, h)
+    r.step(p)
+    ref = r.accum_host()
+    out = _sharded(arrays, w, h, spp, tile=8, sample=1,
+                   scheduler="quota")
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_sharded_progressive(arrays):
     ref = _single(arrays, 16, 16, 2, frames=3)
     out = _sharded(arrays, 16, 16, 2, 4, 2, frames=3)

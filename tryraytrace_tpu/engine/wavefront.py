@@ -300,8 +300,15 @@ def _sanitize(rad, cfg: RenderConfig):
 def render_frame(scene, textures, cam, frame_seed, width: int, height: int,
                  cfg: RenderConfig, spp: int | None = None, pixel_idx=None,
                  with_stats: bool = False, sample_offset: int = 0,
-                 seed_spp: int | None = None):
+                 seed_spp: int | None = None, pixel_affine_base=None):
     """One frame's radiance sum over ``spp`` samples -> [N, 3].
+
+    ``pixel_affine_base`` (optional, scalar): the caller's promise
+    that ``pixel_idx[j] == pixel_affine_base + j`` (e.g. a mesh
+    shard's contiguous row block).  It lets the persistent engine's
+    quota schedule claim pixels elementwise in its inline per-step
+    program (render_frame_persistent pixel_pool_fn) instead of
+    gathering from the pool array.
 
     The reference accumulates one sample per kernel launch with the
     frame counter as the seed (main.cpp:181, renderer.cu:326); seeds
@@ -317,6 +324,9 @@ def render_frame(scene, textures, cam, frame_seed, width: int, height: int,
     seed_spp = spp if seed_spp is None else seed_spp
     frame_seed = jnp.asarray(frame_seed).astype(jnp.uint32)
     n = width * height if pixel_idx is None else pixel_idx.shape[0]
+    affine_base = (jnp.int32(0) if pixel_idx is None
+                   else (None if pixel_affine_base is None
+                         else jnp.asarray(pixel_affine_base, jnp.int32)))
 
     if cfg.engine == "persistent":
         from tryraytrace_tpu.engine.persistent import render_frame_persistent
@@ -353,13 +363,14 @@ def render_frame(scene, textures, cam, frame_seed, width: int, height: int,
             def body(c, carry):
                 acc, tr_all, sh_all = carry
                 pix = jax.lax.dynamic_slice(all_pix, (c * chunk,), (chunk,))
-                # With the implicit pixel space (pixel_idx None) the
-                # chunk's pool is affine-with-clamp -- hand the engine
-                # the elementwise map so quota's in-step refill needs
-                # no gather (render_frame_persistent pixel_pool_fn).
-                pool_fn = ((lambda j: jnp.minimum(
+                # With an affine pixel space (implicit arange, or an
+                # explicit block with pixel_affine_base) the chunk's
+                # pool is affine-with-clamp -- hand the engine the
+                # elementwise map so quota's in-step refill needs no
+                # gather (render_frame_persistent pixel_pool_fn).
+                pool_fn = ((lambda j: affine_base + jnp.minimum(
                     jnp.int32(c * chunk) + j, jnp.int32(n - 1)))
-                    if pixel_idx is None else None)
+                    if affine_base is not None else None)
                 rad, (tr, sh) = render_frame_persistent(
                     scene, textures, cam, frame_seed, width, height, cfg,
                     spp, pixel_idx=pix, with_stats=True,
@@ -382,8 +393,9 @@ def render_frame(scene, textures, cam, frame_seed, width: int, height: int,
                                        sample_offset=sample_offset,
                                        seed_spp=seed_spp,
                                        pixel_pool_fn=(
-                                           (lambda j: j)
-                                           if pixel_idx is None else None))
+                                           (lambda j: affine_base + j)
+                                           if affine_base is not None
+                                           else None))
     if cfg.engine != "bounce":
         raise ValueError(f"unknown engine {cfg.engine!r}")
 

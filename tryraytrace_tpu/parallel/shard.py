@@ -57,9 +57,13 @@ def render_frame_sharded(scene, textures, cam, frame_seed, width: int,
         # set with the frame's global RNG streams, so the psum'd image
         # is bit-identical to the single-chip render.
         s_idx = jax.lax.axis_index(SAMPLE_AXIS).astype(jnp.int32)
+        # pixels is this shard's contiguous block of the global
+        # arange, so pixels[j] == pixels[0] + j: the affine promise
+        # lets quota's inline refill claim pixels without a gather.
         acc = render_frame(scene, textures, cam, frame_seed, width,
                            height, cfg, spp=local_spp, pixel_idx=pixels,
-                           sample_offset=s_idx * local_spp, seed_spp=spp)
+                           sample_offset=s_idx * local_spp, seed_spp=spp,
+                           pixel_affine_base=pixels[0])
         return jax.lax.psum(acc, SAMPLE_AXIS)
 
     fn = jax.shard_map(

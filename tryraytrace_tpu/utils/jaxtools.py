@@ -7,12 +7,46 @@ import os
 _DONE = False
 
 
+def host_fingerprint() -> str:
+    """Short stable id for (this machine's CPU features, jaxlib).
+
+    The sandbox's host machine changes between sessions, and XLA:CPU
+    AOT blobs compiled for another CPU's feature set load with
+    machine-feature-mismatch warnings and have segfaulted on
+    subsequent cache writes.  Keying the cache directory by this
+    fingerprint makes stale cross-machine blobs unreachable instead
+    of relying on XLA to reject them.
+    """
+    import hashlib
+    import platform
+
+    blob = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    blob += line
+                    break
+    except OSError:
+        blob += platform.processor() or ""
+    try:
+        import jaxlib
+
+        blob += jaxlib.__version__
+    except Exception:
+        pass
+    return hashlib.sha1(blob.encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache() -> None:
     """Turn on JAX's persistent compilation cache.
 
     The render step is one large jitted program; on the axon TPU
-    backend a cold compile can take minutes, so caching across
-    processes matters for CLI/bench usability.  Opt out with
+    backend a cold compile can take minutes (and on a small-CPU host
+    an XLA:CPU compile of the default engine takes ~20 min), so
+    caching across processes matters for CLI/bench/test usability.
+    The directory is keyed by host_fingerprint() so a cache written
+    by a different machine is never loaded.  Opt out with
     TPURT_NO_JAX_CACHE=1; override the location with
     JAX_COMPILATION_CACHE_DIR.
     """
@@ -23,7 +57,7 @@ def enable_compilation_cache() -> None:
     import jax
 
     default = os.path.join(os.path.expanduser("~"), ".cache", "tpurt",
-                           "jax_cache")
+                           "jax_cache", host_fingerprint())
     path = os.environ.get("JAX_COMPILATION_CACHE_DIR", default)
     try:
         os.makedirs(path, exist_ok=True)
