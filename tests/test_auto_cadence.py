@@ -43,12 +43,19 @@ def test_inline_mode_resolves_flat_8():
 def test_renderer_resolves_inline_cadence():
     # Default config on a 1-light scene runs inline (config.
     # inline_resolved) and must get the inline cadence, not the tick
-    # mapping; a tick-path config (quota scheduler) must not.
+    # mapping; tick-path configs (inline off, or the pool scheduler,
+    # whose shared-counter claim can't run in-step) must not.  The
+    # quota scheduler gained in-step refill this round and now
+    # resolves inline like owner.
     arrays = flatten_scene(create_cornell_box(mesh=None))
     base = RenderConfig(width=32, height=24, spp=2)
     assert Renderer(arrays, cfg=base).cfg.shade_every == 8
     assert Renderer(
-        arrays, cfg=base.replace(scheduler="quota")).cfg.shade_every == 3
+        arrays, cfg=base.replace(scheduler="quota")).cfg.shade_every == 8
+    assert Renderer(
+        arrays, cfg=base.replace(inline_shade=False)).cfg.shade_every == 3
+    assert Renderer(
+        arrays, cfg=base.replace(scheduler="pool")).cfg.shade_every == 3
 
 
 def test_probe_scales_with_scene_depth():
