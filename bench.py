@@ -42,7 +42,8 @@ def main() -> int:
     ap.add_argument("--step-unroll", type=int, default=None)
     ap.add_argument("--leaf-size", type=int, default=None)
     ap.add_argument("--bvh", default=None, help="sah | median")
-    ap.add_argument("--traversal", default=None, help="threaded | fatnode")
+    ap.add_argument("--traversal", default=None,
+                    help="threaded | fatnode | pair")
     ap.add_argument("--max-wave", type=int, default=None)
     ap.add_argument("--dual-walk", action=argparse.BooleanOptionalAction,
                     default=None, help="--dual-walk / --no-dual-walk "

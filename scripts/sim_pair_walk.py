@@ -295,15 +295,15 @@ def shadow_rays(arrays, n, seed=2):
     return o, d, (dist[:, 0] - 1e-3).astype(np.float32)
 
 
-def run_scene(name):
+def run_scene(name, leaf=8):
     from tryraytrace_tpu.benchmarks import build_config
     cfg_name = {"teapot": "teapot512", "cow": "cow800",
                 "flythrough": "flythrough1080"}[name]
     arrays, *_ = build_config(cfg_name)
     bvh = build_bvh(arrays.tri_v0, arrays.tri_v1, arrays.tri_v2,
-                    leaf_size=8, method="sah")
+                    leaf_size=leaf, method="sah")
     arrays = arrays.permuted(bvh.perm)
-    k = 8
+    k = leaf
     tris, cnt = leaf_tris(bvh, arrays.tri_v0, arrays.tri_v1,
                           arrays.tri_v2, k)
     cam = CameraController().get_params(320, 180)
@@ -348,12 +348,15 @@ def run_scene(name):
     mix_p = 0.61 * surf_p + 0.39 * results["shadow"]["pair"]
     results["mix"] = {"classic": mix_c, "pair": mix_p,
                       "ratio": mix_p / mix_c}
-    print(json.dumps({"scene": name, "nodes": bvh.num_nodes,
+    print(json.dumps({"scene": name, "leaf": leaf, "nodes": bvh.num_nodes,
                       **results}, indent=1))
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="teapot")
+    ap.add_argument("--leaf", type=int, default=8,
+                    help="fat-leaf size (pair rows fit <=11 in the "
+                         "free 112-float row budget)")
     args = ap.parse_args()
-    run_scene(args.scene)
+    run_scene(args.scene, args.leaf)

@@ -859,6 +859,79 @@ def pack_fatnode_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
     return table
 
 
+# --- Pair-row traversal table (traversal v4, "pair") -----------------
+#
+# Stackless pair walk: an internal row holds BOTH children's boxes, so
+# each fetched row tests two boxes and branches 3 ways (near-hit ->
+# near row; far-hit only -> far row; both miss -> the threaded
+# continuation).  Unlike the fat-node layout there is NO per-lane
+# stack: the continuation of a near subtree threads straight into the
+# far child's row without knowing far's box result -- entering a
+# missed far node is absorbed by containment (an internal far's
+# children both miss; a leaf far's contained triangles all miss inside
+# the window), wasting at most one row per threaded far-entry.  A
+# one-slot per-lane "skip register" (entry(far) -> cont(X), pushed on
+# near-hit/far-miss, LIFO-consumed) removes most of those wasted
+# entries exactly (scripts/sim_pair_walk.py: 21-28% fewer gathers
+# than the threaded walk on the bench scenes; deeper registers add
+# <1%).  Replaces the reference's stack walk (renderer.cu:387-424)
+# like the threaded layout, but at ~0.8x the row fetches.
+#
+# Row layout float32[M, 10 + max(15, 9K)]:
+#   col 0: prim_start (-1 for internal)
+#   col 1: prim_count
+#   cols 2:10: per-octant continuation after this node's subtree
+#              (== thread_octant next_miss; sentinel M = done)
+#   internal: cols 10:16 boxL, 16:22 boxR, 22 childL, 23 childR,
+#             24 split axis (near = childL iff ray non-negative on it)
+#   leaf:     cols 10:10+9K inline triangles (no own-box test: leaf
+#             tris are inside the parent-tested leaf box, and the MT
+#             window gates exactly)
+
+PAIR_COL_CONT = 2    # 8 per-octant continuation links
+PAIR_COL_BODY = 10   # boxes+children (internal) / triangles (leaf)
+
+
+def pair_row_width(leaf_size: int) -> int:
+    return PAIR_COL_BODY + max(15, 9 * leaf_size)
+
+
+def pack_pair_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
+                    v2: np.ndarray,
+                    leaf_size: int | None = None) -> np.ndarray:
+    m = bvh.num_nodes
+    k = int(leaf_size if leaf_size is not None
+            else max(1, bvh.leaf_count.max() if m else 1))
+    w = pair_row_width(k)
+    if m == 0:
+        return np.zeros((0, w), np.float32)
+    if bvh.leaf_count.max() > k:
+        raise ValueError(f"leaf_size {k} < max leaf count {bvh.leaf_count.max()}")
+    table = np.zeros((m, w), np.float32)
+    table[:, 0] = bvh.leaf_prim.astype(np.float32)
+    table[:, 1] = bvh.leaf_count.astype(np.float32)
+    for o in range(NUM_OCTANTS):
+        _, nm = thread_octant(bvh, o)
+        table[:, PAIR_COL_CONT + o] = nm.astype(np.float32)
+
+    internal = np.nonzero(bvh.leaf_count == 0)[0]
+    table[internal, PAIR_COL_BODY:PAIR_COL_BODY + 6] = (
+        bvh.bounds[bvh.left[internal]])
+    table[internal, PAIR_COL_BODY + 6:PAIR_COL_BODY + 12] = (
+        bvh.bounds[bvh.right[internal]])
+    table[internal, PAIR_COL_BODY + 12] = bvh.left[internal].astype(np.float32)
+    table[internal, PAIR_COL_BODY + 13] = bvh.right[internal].astype(np.float32)
+    table[internal, PAIR_COL_BODY + 14] = bvh.axis[internal].astype(np.float32)
+
+    tri_cat = np.concatenate([v0, v1, v2], axis=-1)
+    for node in np.nonzero(bvh.leaf_count > 0)[0]:
+        start = int(bvh.leaf_prim[node])
+        cnt = int(bvh.leaf_count[node])
+        table[node, PAIR_COL_BODY:PAIR_COL_BODY + 9 * cnt] = (
+            tri_cat[start:start + cnt].reshape(-1))
+    return table
+
+
 # Packed hit-data row layout (float32[37]): everything shading needs
 # about the hit primitive in one gather (rows are free to >= 112
 # floats on v5e, docs/PERFORMANCE.md).

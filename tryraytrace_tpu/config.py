@@ -140,12 +140,16 @@ class RenderConfig:
     # (persistent.TEX_TABLE_BUDGET_BYTES); True forces it past the
     # budget check; False keeps the tick deferral.
     inline_tex: bool | None = None
-    # Traversal scheme for the persistent engine: "fatnode" fetches
-    # both child boxes at the parent (front-to-back by true entry
-    # distance, register short-stack; ~0.5x the row fetches) or
-    # "threaded" (octant miss links, no stack).  Identical results;
-    # threaded + unrolling measured faster on v5e (the fat-node
-    # register stack costs more VMEM traffic than the saved rows).
+    # Traversal scheme for the persistent engine: "threaded" (octant
+    # miss links, no stack), "fatnode" (both child boxes at the
+    # parent, front-to-back by true entry distance, register
+    # short-stack; ~0.5x the row fetches but loses to its stack
+    # traffic on v5e), or "pair" (both child boxes at the parent,
+    # octant-threaded continuations, NO stack: entries into a missed
+    # far child are absorbed by containment, and a one-slot per-lane
+    # skip register removes most of that waste -- ~0.8x the threaded
+    # walk's row fetches at the same per-step cost,
+    # scripts/sim_pair_walk.py).  Identical images for all three.
     traversal: str = "threaded"
     # Traversal steps executed per while-loop iteration in the
     # persistent engine.  Measured on v5e, a loop iteration containing
@@ -243,8 +247,9 @@ def inline_resolved(cfg: RenderConfig, num_lights: int) -> bool:
     (config, scene) pair.  Single source of truth for the gate: the
     engine (engine/persistent.py) and the auto-cadence resolvers
     (Renderer/ShardedRenderer/bench) must agree, or the cadence would
-    be tuned for the wrong tick role.  Inline needs the threaded walk
-    (fatnode re-fetches rows at pop), the owner or quota schedule
+    be tuned for the wrong tick role.  Inline needs a stackless walk
+    (threaded or pair; fatnode re-fetches rows at pop, so its gather
+    slot is not free), the owner or quota schedule
     (quota's strided claim and one-hot flush are elementwise; pool's
     shared-counter claim needs a cumsum per step), and few enough
     lights that the NEE light pick is a where-chain select, not a

@@ -20,6 +20,7 @@ from tryraytrace_tpu.accel.bvh import (
     LinearBVH,
     build_bvh,
     pack_fatnode_table,
+    pack_pair_table,
     pack_traversal_table,
     pack_trimat_table,
     refit_bvh,
@@ -49,6 +50,7 @@ class DeviceScene:
     bvh_miss: jax.Array        # [M]
     node_table: jax.Array      # [M, 9K+24] threaded traversal rows
     fatnode_table: jax.Array   # [M, 2+max(14,9K)] fat-node traversal rows
+    pair_table: jax.Array      # [M, 10+max(15,9K)] pair-row traversal rows
     trimat: jax.Array          # [T, 24] fused triangle+material rows
     num_lights: int = dataclasses.field(metadata=dict(static=True))
     # Static: any nonzero vertex normals in the scene?  When False the
@@ -76,21 +78,28 @@ class DeviceScene:
         return int(self.bvh_bounds.shape[0])
 
 
-def _build_auto_leaf(arrays: SceneArrays, method: str):
+def _build_auto_leaf(arrays: SceneArrays, method: str,
+                     traversal: str = "threaded"):
     """Auto leaf size: the largest fat leaf whose fused traversal
     table stays under the measured ~3 MB gather knee (tables above it
     pay ~0.06 ms/MB per in-loop row fetch, docs/PERFORMANCE.md).
     Small scenes keep the 8-wide headline optimum; 13k+-triangle
     scenes drop to 6 (measured +6% on flythrough1080).  Images are
-    identical for any leaf size (closest-hit is order-independent)."""
-    from tryraytrace_tpu.accel.bvh import traversal_row_width
+    identical for any leaf size (closest-hit is order-independent).
 
+    The knee check uses the SELECTED traversal's row width: pair rows
+    (10 + 9K) are narrower than threaded rows (9K + 24), so scenes
+    near the knee keep bigger leaves under the pair walk."""
+    from tryraytrace_tpu.accel.bvh import pair_row_width, traversal_row_width
+
+    width_of = (pair_row_width if traversal == "pair"
+                else traversal_row_width)
     knee_bytes = 3.0e6
     candidates = (8, 6, 4)
     for cand in candidates:
         bvh = build_bvh(arrays.tri_v0, arrays.tri_v1, arrays.tri_v2,
                         leaf_size=cand, method=method)
-        width = traversal_row_width(
+        width = width_of(
             int(max(1, bvh.leaf_count.max())) if bvh.num_nodes else 1)
         if bvh.num_nodes * width * 4 <= knee_bytes or cand == candidates[-1]:
             return bvh, cand
@@ -139,7 +148,7 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
     """
     if bvh is None:
         if leaf_size <= 0:
-            bvh, leaf_size = _build_auto_leaf(arrays, method)
+            bvh, leaf_size = _build_auto_leaf(arrays, method, traversal)
         else:
             bvh = build_bvh(arrays.tri_v0, arrays.tri_v1, arrays.tri_v2,
                             leaf_size=leaf_size, method=method)
@@ -186,6 +195,11 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
             bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
             leaf_size=leaf_size) if traversal == "fatnode" else
             np.zeros((0, 16), np.float32)),
+        # Packed only when selected, like the fat-node table.
+        pair_table=put(pack_pair_table(
+            bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
+            leaf_size=leaf_size) if traversal == "pair" else
+            np.zeros((0, 25), np.float32)),
         trimat=put(pack_trimat_table(ordered)),
         num_lights=n_lights,
         leaf_size=leaf_size,
@@ -231,6 +245,10 @@ def refit_scene(dev: DeviceScene, bvh: LinearBVH, arrays: SceneArrays,
             new_bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
             leaf_size=leaf_size)) if int(dev.fatnode_table.shape[0])
         else dev.fatnode_table,
+        pair_table=put(pack_pair_table(
+            new_bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
+            leaf_size=leaf_size)) if int(dev.pair_table.shape[0])
+        else dev.pair_table,
         trimat=put(pack_trimat_table(ordered)),
     )
     return new, new_bvh

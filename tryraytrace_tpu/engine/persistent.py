@@ -63,8 +63,11 @@ from tryraytrace_tpu.ops.texture import (
 from tryraytrace_tpu.ops.traverse import (
     FATNODE_DEPTH,
     MISS_T,
+    PAIR_COL_BODY,
     _decode_links,
+    _fat_leaf_intersect,
     _leaf_intersect,
+    _pair_decode,
     fatnode_step,
     ray_octant,
 )
@@ -136,8 +139,12 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
         pixel_idx = jnp.arange(n, dtype=jnp.int32)
     frame_seed = jnp.asarray(frame_seed).astype(jnp.uint32)
     k = scene.leaf_size
+    if cfg.traversal not in ("threaded", "fatnode", "pair"):
+        raise ValueError(f"unknown traversal {cfg.traversal!r}")
     fat = cfg.traversal == "fatnode"
-    table = scene.fatnode_table if fat else scene.node_table
+    pair = cfg.traversal == "pair"
+    table = (scene.fatnode_table if fat
+             else scene.pair_table if pair else scene.node_table)
     sentinel = table.shape[0]
     col_ps = 6 + 9 * k
     # 0 = auto, resolved per scene by Renderer/ShardedRenderer/bench
@@ -169,6 +176,10 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
 
     dual = (cfg.dual_walk and not fat and not pool
             and spp >= 2 and spp % 2 == 0)
+    if pair and scene.trimat.shape[0] > 0 and sentinel == 0:
+        raise ValueError(
+            "cfg.traversal='pair' but the scene was uploaded without a "
+            "pair-row table (upload_scene(traversal=...))")
     sample_stride = 2 if dual else 1
 
     # Inline shading (see _step): supported for the threaded walk +
@@ -241,6 +252,11 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
         pix0 = pixel_idx[:w]
         r_o, r_d = generate_rays(cam, width, height, seed0, pix0)
         extra = {}
+        if pair:
+            # One-slot skip register (entry -> redirect), per walk
+            # context so dual-walk muxes it with the rest.
+            extra["reg_e"] = jnp.full((w,), -1, jnp.int32)
+            extra["reg_s"] = jnp.full((w,), -1, jnp.int32)
         if inline_ctx is not None and inline_ctx["tex"] is not None:
             # TEXG material stash (albedo, metallic, roughness, ior,
             # transmission, fx, fy, front-face bit); nl/nl_off/emission
@@ -348,7 +364,7 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
 
     step_unroll = max(1, cfg.step_unroll)
 
-    step_fn = _step_fat if fat else _step
+    step_fn = _step_fat if fat else _step_pair if pair else _step
 
     def lane_done(s):
         done = s["mode"] == DONE
@@ -554,16 +570,10 @@ def _step(s, table, sentinel, k: int, col_ps: int, inline=None,
     idx = jnp.where(stepping, jnp.minimum(s["cur"], sentinel - 1), 0)
     service = service and inline is not None
     tex_ctx = inline.get("tex") if service else None
+    live_g = live_x = None
     if service:
-        live_g = s["mode"] == SHADEG
-        pack = inline["pack"]
-        sid = jnp.maximum(s["hit_id"], 0)
-        shade_idx = sentinel + (sid >> 1 if pack == 2 else sid)
-        idx = jnp.where(live_g, shade_idx, idx)
-        if tex_ctx is not None:
-            # TEXG lanes stored their absolute tile-row index in cur.
-            live_x = s["mode"] == TEXG
-            idx = jnp.where(live_x, s["cur"], idx)
+        idx, live_g, live_x = _service_select(s, idx, sentinel, inline,
+                                              tex_ctx)
     row = table[idx]
 
     ls3 = live_s[..., None]
@@ -628,58 +638,184 @@ def _step(s, table, sentinel, k: int, col_ps: int, inline=None,
     out = dict(s)
     out.update(mode=mode, cur=cur, d_min=d_min, hit_id=hit_id, rad=rad)
     if service:
-        if pack == 2:
-            trow = jnp.where(((s["hit_id"] & 1) == 1)[..., None],
-                             row[:, 37:74], row[:, 0:37])
-        else:
-            trow = row[:, 0:37]
-        # One _shade_finish instance serves both SHADEG lanes (material
-        # row gathered this step) and TEXG lanes (tile row gathered
-        # this step + material from last service's stash): prepare
-        # handles the SHADEG side (parking NEW textured hits in TEXG),
-        # then the TEXG side is muxed into its inputs.
-        out, ready_u, deferred, qq = _shade_prepare(
-            out, trow, live_g, inline["scene"], inline["textures"],
-            inline["cfg"], defer_textured=True, inline_tex=tex_ctx)
-        m_all = ready_u
-        if tex_ctx is not None:
-            ts = out["tstash"]
-            offx = jnp.maximum(s["hit_id"], 0) % TEX_TILE
-            offy = jnp.maximum(s["hit_id"], 0) // TEX_TILE % TEX_TILE
-            factor = tile_bilinear(row, offx, offy, ts[:, 7], ts[:, 8])
-            lx3 = live_x[..., None]
-            front3 = (ts[:, 9] > 0.0)[..., None]
-            nl_x = out["so"]
-            qq = dict(qq)
-            qq["nl"] = jnp.where(lx3, nl_x, qq["nl"])
-            qq["nrm"] = jnp.where(lx3, jnp.where(front3, nl_x, -nl_x),
-                                  qq["nrm"])
-            qq["nl_off"] = jnp.where(lx3, out["sd"], qq["nl_off"])
-            qq["albedo"] = jnp.where(lx3, ts[:, 0:3] * factor,
-                                     qq["albedo"])
-            qq["emission"] = jnp.where(lx3, out["pend"], qq["emission"])
-            qq["metallic"] = jnp.where(live_x, ts[:, 3], qq["metallic"])
-            qq["roughness"] = jnp.where(live_x, ts[:, 4],
-                                        qq["roughness"])
-            qq["ior"] = jnp.where(live_x, ts[:, 5], qq["ior"])
-            qq["transmission"] = jnp.where(live_x, ts[:, 6],
-                                           qq["transmission"])
-            m_all = ready_u | live_x
-        out = _shade_finish(out, m_all, deferred, qq, inline["scene"],
-                            inline["cfg"])
-        # In-step path regeneration (all elementwise, no gathers:
-        # owner refills its own pixel's next sample; quota claims
-        # pos+stride with the pixel_pool_fn map and flushes by one-hot
-        # FMA) -- REFILL lanes created by the shade above or the
-        # miss/shadow transitions regenerate before the next step.
-        out = _refill(out, inline["cam"], inline["frame_seed"],
-                      inline["pixel_pool"], inline["width"],
-                      inline["height"], inline["cfg"], inline["spp"],
-                      inline["sample_offset"], inline["seed_spp"],
-                      inline["sample_stride"],
-                      n_items=inline["n_items"],
-                      stride=inline["stride"],
-                      pool_fn=inline["pool_fn"])
+        out = _service_shade(out, s, row, live_g, live_x, inline,
+                             tex_ctx)
+    return out
+
+
+def _service_select(s, idx, sentinel, inline, tex_ctx):
+    """Mux the inline-shading fetches into the step's single gather
+    slot: SHADEG lanes take their hit triangle's packed material row
+    (unified-table rows follow the node rows), TEXG lanes the absolute
+    tile-row index they stashed in ``cur``.  Returns (idx, live_g,
+    live_x) with live_x None when inline texturing is off."""
+    live_g = s["mode"] == SHADEG
+    sid = jnp.maximum(s["hit_id"], 0)
+    shade_idx = sentinel + (sid >> 1 if inline["pack"] == 2 else sid)
+    idx = jnp.where(live_g, shade_idx, idx)
+    live_x = None
+    if tex_ctx is not None:
+        live_x = s["mode"] == TEXG
+        idx = jnp.where(live_x, s["cur"], idx)
+    return idx, live_g, live_x
+
+
+def _service_shade(out, s, row, live_g, live_x, inline, tex_ctx):
+    """The in-step shade/texture/regenerate block shared by every
+    traversal's step function.  ``row`` is this step's gathered row
+    (material row for SHADEG lanes, texture tile row for TEXG lanes),
+    ``s`` the pre-step state (hit_id/so/sd/pend/tstash carry the TEXG
+    stash across steps)."""
+    if inline["pack"] == 2:
+        trow = jnp.where(((s["hit_id"] & 1) == 1)[..., None],
+                         row[:, 37:74], row[:, 0:37])
+    else:
+        trow = row[:, 0:37]
+    # One _shade_finish instance serves both SHADEG lanes (material
+    # row gathered this step) and TEXG lanes (tile row gathered
+    # this step + material from last service's stash): prepare
+    # handles the SHADEG side (parking NEW textured hits in TEXG),
+    # then the TEXG side is muxed into its inputs.
+    out, ready_u, deferred, qq = _shade_prepare(
+        out, trow, live_g, inline["scene"], inline["textures"],
+        inline["cfg"], defer_textured=True, inline_tex=tex_ctx)
+    m_all = ready_u
+    if tex_ctx is not None:
+        ts = out["tstash"]
+        offx = jnp.maximum(s["hit_id"], 0) % TEX_TILE
+        offy = jnp.maximum(s["hit_id"], 0) // TEX_TILE % TEX_TILE
+        factor = tile_bilinear(row, offx, offy, ts[:, 7], ts[:, 8])
+        lx3 = live_x[..., None]
+        front3 = (ts[:, 9] > 0.0)[..., None]
+        nl_x = out["so"]
+        qq = dict(qq)
+        qq["nl"] = jnp.where(lx3, nl_x, qq["nl"])
+        qq["nrm"] = jnp.where(lx3, jnp.where(front3, nl_x, -nl_x),
+                              qq["nrm"])
+        qq["nl_off"] = jnp.where(lx3, out["sd"], qq["nl_off"])
+        qq["albedo"] = jnp.where(lx3, ts[:, 0:3] * factor,
+                                 qq["albedo"])
+        qq["emission"] = jnp.where(lx3, out["pend"], qq["emission"])
+        qq["metallic"] = jnp.where(live_x, ts[:, 3], qq["metallic"])
+        qq["roughness"] = jnp.where(live_x, ts[:, 4],
+                                    qq["roughness"])
+        qq["ior"] = jnp.where(live_x, ts[:, 5], qq["ior"])
+        qq["transmission"] = jnp.where(live_x, ts[:, 6],
+                                       qq["transmission"])
+        m_all = ready_u | live_x
+    out = _shade_finish(out, m_all, deferred, qq, inline["scene"],
+                        inline["cfg"])
+    # In-step path regeneration (all elementwise, no gathers:
+    # owner refills its own pixel's next sample; quota claims
+    # pos+stride with the pixel_pool_fn map and flushes by one-hot
+    # FMA) -- REFILL lanes created by the shade above or the
+    # miss/shadow transitions regenerate before the next step.
+    return _refill(out, inline["cam"], inline["frame_seed"],
+                   inline["pixel_pool"], inline["width"],
+                   inline["height"], inline["cfg"], inline["spp"],
+                   inline["sample_offset"], inline["seed_spp"],
+                   inline["sample_stride"],
+                   n_items=inline["n_items"],
+                   stride=inline["stride"],
+                   pool_fn=inline["pool_fn"])
+
+
+def _step_pair(s, table, sentinel, k: int, col_ps: int, inline=None,
+               service: bool = True):
+    """One pair-row traversal step (accel/bvh.py pack_pair_table) for
+    TRAVERSE and SHADOW lanes, sharing the single row gather; with
+    ``inline`` the same slot serves SHADEG/TEXG exactly like _step.
+
+    Each fetched internal row tests BOTH children's boxes and branches
+    near / far / threaded continuation; leaf rows MT their inline
+    triangles with no own-box test (the MT window gates exactly).  The
+    one-slot skip register (reg_e -> reg_s, per lane) removes most
+    containment-absorbed entries into known-missed far nodes
+    (scripts/sim_pair_walk.py: ~0.8x the threaded walk's gathers).  A
+    lane at cur == 0 is starting a fresh walk, so its register resets
+    first (no link ever re-enters the root)."""
+    live_t = s["mode"] == TRAVERSE
+    live_s = s["mode"] == SHADOW
+    stepping = live_t | live_s
+
+    fresh = (s["cur"] == 0) & stepping
+    reg_e = jnp.where(fresh, -1, s["reg_e"])
+    reg_s = jnp.where(fresh, -1, s["reg_s"])
+
+    idx = jnp.where(stepping, jnp.minimum(s["cur"], sentinel - 1), 0)
+    service = service and inline is not None
+    tex_ctx = inline.get("tex") if service else None
+    live_g = live_x = None
+    if service:
+        idx, live_g, live_x = _service_select(s, idx, sentinel, inline,
+                                              tex_ctx)
+    row = table[idx]
+
+    ls3 = live_s[..., None]
+    ro = jnp.where(ls3, s["so"], s["o"])
+    rd = jnp.where(ls3, s["sd"], s["d"])
+    inv = jnp.where(ls3, 1.0 / rd, vec.safe_inv(rd, jnp))
+    t_min = jnp.where(live_s, jnp.float32(1e-3), jnp.float32(0.0))
+
+    prim_start = row[:, 0].astype(jnp.int32)
+    prim_count = row[:, 1].astype(jnp.int32)
+    is_leaf = prim_start >= 0
+
+    def window(t):
+        return jnp.where(live_s,
+                         (t > 1e-3) & (t < s["smax"] - 1e-3),
+                         t < s["d_min"])
+
+    best_t, best_id = _fat_leaf_intersect(
+        row, k, ro, rd, prim_start, prim_count, window,
+        base0=PAIR_COL_BODY)
+
+    found = stepping & is_leaf & (best_id >= 0)
+    d_min = jnp.where(found & live_t, best_t, s["d_min"])
+    hit_id = jnp.where(found & live_t, best_id, s["hit_id"])
+    occluded = found & live_s
+
+    # Child boxes test against the post-leaf-update closest hit
+    # (irrelevant in the same step -- a row is leaf xor internal --
+    # but keeps the window exactly the walk's current best).
+    t_max = jnp.where(live_s, s["smax"], d_min)
+    octant = ray_octant(rd)
+    cont, nxt_int, push, far = _pair_decode(row, octant, ro, inv,
+                                            t_min, t_max)
+    nxt = jnp.where(is_leaf, cont, nxt_int)
+    push = push & ~is_leaf & stepping
+    reg_e = jnp.where(push, far, reg_e)
+    reg_s = jnp.where(push, cont, reg_s)
+    redirect = stepping & (reg_e >= 0) & (nxt == reg_e)
+    nxt = jnp.where(redirect, reg_s, nxt)
+    reg_e = jnp.where(redirect, -1, reg_e)
+    cur = jnp.where(stepping, nxt, s["cur"])
+
+    # Transitions (identical to _step).
+    t_done = live_t & (cur >= sentinel)
+    s_done = live_s & (occluded | (cur >= sentinel))
+    lit = s_done & ~occluded
+    rad = s["rad"] + jnp.where(lit[..., None], s["pend"], 0.0)
+
+    mode = s["mode"]
+    if inline is None:
+        mode = jnp.where(t_done, READY, mode)
+    else:
+        mode = jnp.where(t_done, jnp.where(hit_id >= 0, SHADEG, REFILL),
+                         mode)
+    mode = jnp.where(s_done,
+                     jnp.where(s["cont_after_shadow"], TRAVERSE, REFILL),
+                     mode)
+    cur = jnp.where(s_done, 0, cur)
+    d_min = jnp.where(s_done, MISS_T, d_min)
+    hit_id = jnp.where(s_done, -1, hit_id)
+
+    out = dict(s)
+    out.update(mode=mode, cur=cur, d_min=d_min, hit_id=hit_id, rad=rad,
+               reg_e=reg_e, reg_s=reg_s)
+    if service:
+        out = _service_shade(out, s, row, live_g, live_x, inline,
+                             tex_ctx)
     return out
 
 

@@ -28,6 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from tryraytrace_tpu.accel.bvh import PAIR_COL_BODY, PAIR_COL_CONT
 from tryraytrace_tpu.core import vec
 from tryraytrace_tpu.ops.aabb import aabb_hit, aabb_slab
 from tryraytrace_tpu.ops.intersect import moller_trumbore
@@ -213,6 +214,142 @@ def any_hit_fatnode(table, k: int, r_o, r_d, max_dist, active):
         return cur, stack, occ
 
     _, _, occ = jax.lax.while_loop(cond, body, state)
+    return occ
+
+
+# --- Pair-row traversal (v4; see accel/bvh.py pack_pair_table) -------
+#
+# Stackless two-boxes-per-row walk: each fetched internal row tests
+# BOTH children (near-first by octant) and branches near / far / the
+# threaded continuation; a missed far node entered through the thread
+# is absorbed by containment (one wasted row), and a one-slot per-lane
+# skip register (entry(far) -> cont(X)) removes most of that waste
+# exactly.  ~0.8x the row fetches of the threaded walk at the same
+# per-step cost (scripts/sim_pair_walk.py).
+
+def _pair_decode(row, octant, r_o, inv_d, t_min, t_max):
+    """Internal-row decode for the pair walk: per-lane continuation
+    link, the 3-way next pointer, and the skip-register push condition.
+
+    Returns (cont, nxt_internal, push, far): ``cont`` is this row's
+    per-octant threaded continuation (also the leaf next), ``push`` is
+    true where the walk descends near with far missed (so entry(far)
+    -> cont may be registered), ``far`` the far child's row id.  All
+    elementwise selects riding the row gather."""
+    cont = jnp.zeros(row.shape[0], jnp.float32)
+    for o in range(8):
+        cont = cont + ((octant == o).astype(jnp.float32)
+                       * row[:, PAIR_COL_CONT + o])
+    cont = cont.astype(jnp.int32)
+    b = PAIR_COL_BODY
+    hit_l = aabb_hit(row[:, b:b + 6], r_o, inv_d, t_min, t_max)
+    hit_r = aabb_hit(row[:, b + 6:b + 12], r_o, inv_d, t_min, t_max)
+    child_l = row[:, b + 12].astype(jnp.int32)
+    child_r = row[:, b + 13].astype(jnp.int32)
+    # Clamp: masked lanes (leaf rows, or SHADEG/TEXG material/tile rows
+    # riding the same gather slot in the engine) carry arbitrary floats
+    # here, and an out-of-range shift amount is implementation-defined.
+    axis = jnp.clip(row[:, b + 14].astype(jnp.int32), 0, 2)
+    neg = ((octant >> axis) & 1) == 1
+    near = jnp.where(neg, child_r, child_l)
+    far = jnp.where(neg, child_l, child_r)
+    hit_n = jnp.where(neg, hit_r, hit_l)
+    hit_f = jnp.where(neg, hit_l, hit_r)
+    nxt_int = jnp.where(hit_n, near, jnp.where(hit_f, far, cont))
+    return cont, nxt_int, hit_n & ~hit_f, far
+
+
+def pair_step(table, k: int, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
+              t_min, t_max, window, live):
+    """One pair-row step shared by the closest/any-hit walks and the
+    persistent engine: gathers each live lane's current row, MT-tests
+    leaf rows, 3-way-branches internal rows, and advances the one-slot
+    skip register.  Returns (cur', reg_e', reg_s', leaf_t, leaf_id)
+    with leaf_id = -1 where no in-window leaf hit was found."""
+    sentinel = table.shape[0]
+    idx = jnp.where(live, jnp.minimum(cur, sentinel - 1), 0)
+    row = table[idx]
+    prim_start = row[:, 0].astype(jnp.int32)
+    prim_count = row[:, 1].astype(jnp.int32)
+    is_leaf = prim_start >= 0
+
+    lt, lid = _fat_leaf_intersect(row, k, r_o, r_d, prim_start, prim_count,
+                                  window, base0=PAIR_COL_BODY)
+    lid = jnp.where(live & is_leaf, lid, -1)
+
+    cont, nxt_int, push, far = _pair_decode(row, octant, r_o, inv_d,
+                                            t_min, t_max)
+    nxt = jnp.where(is_leaf, cont, nxt_int)
+    push = push & ~is_leaf & live
+    reg_e = jnp.where(push, far, reg_e)
+    reg_s = jnp.where(push, cont, reg_s)
+    redirect = live & (reg_e >= 0) & (nxt == reg_e)
+    nxt = jnp.where(redirect, reg_s, nxt)
+    reg_e = jnp.where(redirect, -1, reg_e)
+    cur = jnp.where(live, nxt, cur)
+    return cur, reg_e, reg_s, lt, lid
+
+
+def closest_hit_pair(table, k: int, r_o, r_d, active):
+    """Closest-hit via the pair walk; same results as closest_hit /
+    closest_hit_packed (closest-hit is order-independent)."""
+    n = r_o.shape[0]
+    sentinel = table.shape[0]
+    if sentinel == 0:
+        return jnp.full((n,), MISS_T), jnp.full((n,), -1, jnp.int32)
+    inv_d = vec.safe_inv(r_d, jnp)
+    octant = ray_octant(r_d)
+    cur0 = jnp.where(active, 0, sentinel).astype(jnp.int32)
+    reg0 = jnp.full((n,), -1, jnp.int32)
+    state = (cur0, reg0, reg0, jnp.full((n,), MISS_T),
+             jnp.full((n,), -1, jnp.int32))
+
+    def cond(s):
+        return jnp.any(s[0] < sentinel)
+
+    def body(s):
+        cur, reg_e, reg_s, d_min, hit_id = s
+        live = cur < sentinel
+        cur, reg_e, reg_s, lt, lid = pair_step(
+            table, k, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
+            jnp.float32(0.0), d_min, lambda t: t < d_min, live)
+        take = lid >= 0
+        d_min = jnp.where(take, lt, d_min)
+        hit_id = jnp.where(take, lid, hit_id)
+        return cur, reg_e, reg_s, d_min, hit_id
+
+    _, _, _, d_min, hit_id = jax.lax.while_loop(cond, body, state)
+    return d_min, hit_id
+
+
+def any_hit_pair(table, k: int, r_o, r_d, max_dist, active):
+    """Shadow traversal via the pair walk (trace_shadow parity: plain
+    1/d, constant (1e-3, max_dist) window, early exit)."""
+    n = r_o.shape[0]
+    sentinel = table.shape[0]
+    if sentinel == 0:
+        return jnp.zeros((n,), bool)
+    inv_d = (1.0 / r_d).astype(jnp.float32)
+    octant = ray_octant(r_d)
+    cur0 = jnp.where(active, 0, sentinel).astype(jnp.int32)
+    reg0 = jnp.full((n,), -1, jnp.int32)
+    state = (cur0, reg0, reg0, jnp.zeros((n,), bool))
+
+    def cond(s):
+        return jnp.any(s[0] < sentinel)
+
+    def body(s):
+        cur, reg_e, reg_s, occ = s
+        live = cur < sentinel
+        cur, reg_e, reg_s, _, lid = pair_step(
+            table, k, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
+            jnp.float32(1e-3), max_dist,
+            lambda t: (t > 1e-3) & (t < max_dist - 1e-3), live)
+        occ = occ | (lid >= 0)
+        cur = jnp.where(occ, sentinel, cur)
+        return cur, reg_e, reg_s, occ
+
+    _, _, _, occ = jax.lax.while_loop(cond, body, state)
     return occ
 
 
