@@ -55,6 +55,10 @@ def main() -> int:
                     default=None, help="--inline-tex / --no-inline-tex "
                     "(default: config default = auto)")
     ap.add_argument("--scheduler", default=None, help="owner | pool | quota")
+    ap.add_argument("--spill-stages", type=int, default=None,
+                    help="compaction-ladder depth (config default: 4)")
+    ap.add_argument("--c-isect", type=float, default=0.4,
+                    help="SAH intersection cost (cost-model sweeps)")
     args = ap.parse_args()
 
     import jax
@@ -98,11 +102,14 @@ def main() -> int:
         cfg = cfg.replace(inline_tex=args.inline_tex)
     if args.scheduler:
         cfg = cfg.replace(scheduler=args.scheduler)
+    if args.spill_stages is not None:
+        cfg = cfg.replace(spill_stages=args.spill_stages)
 
     t0 = time.time()
     scene, textures, bvh = upload_scene(arrays, leaf_size=cfg.bvh_leaf_size,
                                         method=cfg.bvh_method,
-                                        traversal=cfg.traversal)
+                                        traversal=cfg.traversal,
+                                        c_isect=args.c_isect)
     if cfg.shade_every < 1:
         from tryraytrace_tpu.config import inline_resolved
         from tryraytrace_tpu.engine.device_scene import auto_shade_every

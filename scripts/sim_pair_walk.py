@@ -242,6 +242,166 @@ def pair_walk(bvh, tris, cnt, k, o, d, t_cap, anyhit=False,
     return gath, best, occl, waste
 
 
+def collapse(bvh, width):
+    """Collapse the binary BVH into a ``width``-ary tree.
+
+    Returns {root_binary_id: [child binary ids]} for every collapsed
+    node, where children are original binary node ids (internal
+    children become collapsed-node roots themselves; leaf children
+    stay leaves).  Expansion is SAH-greedy: repeatedly expand the
+    internal child with the largest surface area until ``width``
+    children or all leaves.
+    """
+    is_leaf = bvh.leaf_prim >= 0
+
+    def area(c):
+        lo, hi = bvh.bounds[c, :3], bvh.bounds[c, 3:]
+        e = np.maximum(hi - lo, 0)
+        return float(e[0] * e[1] + e[1] * e[2] + e[2] * e[0])
+
+    children = {}
+    todo = [0]
+    while todo:
+        x = todo.pop()
+        if is_leaf[x] or x in children:
+            continue
+        out = [int(bvh.left[x]), int(bvh.right[x])]
+        while len(out) < width:
+            cands = [i for i, c in enumerate(out) if not is_leaf[c]]
+            if not cands:
+                break
+            i = max(cands, key=lambda i: area(out[i]))
+            c = out.pop(i)
+            out[i:i] = [int(bvh.left[c]), int(bvh.right[c])]
+        children[x] = out
+        todo.extend(c for c in out if not is_leaf[c])
+    return children
+
+
+def multi_links(bvh, children, width):
+    """Per-octant W-ary walk links over the collapsed tree.
+
+    For each octant: ordered child slots (approximate front-to-back:
+    sort by centroid projected on the octant direction), per-slot
+    entry row, and cont threading (cont(slot i) = entry(slot i+1),
+    cont(last) = cont(X)).  Row ids reuse binary node ids.
+    """
+    m = bvh.num_nodes
+    cent = 0.5 * (bvh.bounds[:, :3] + bvh.bounds[:, 3:])
+    slots = np.full((8, m, width), m, np.int64)   # entry of slot j
+    nslots = np.zeros((m,), np.int64)
+    conts = np.full((8, m), m, np.int64)
+    sign = np.array([[1 - 2 * ((ob >> a) & 1) for a in range(3)]
+                     for ob in range(8)], np.float32)
+    for ob in range(8):
+        stack = [(0, m)]
+        while stack:
+            x, cont = stack.pop()
+            conts[ob, x] = cont
+            if x not in children:
+                continue
+            kids = children[x]
+            key = (cent[kids] * sign[ob]).sum(-1)
+            order = [kids[i] for i in np.argsort(key, kind="stable")]
+            nslots[x] = len(order)
+            for j, c in enumerate(order):
+                slots[ob, x, j] = c
+                nxt = order[j + 1] if j + 1 < len(order) else cont
+                stack.append((c, nxt))
+    return slots, nslots, conts
+
+
+def multi_walk(bvh, tris, cnt, k, o, d, t_cap, width, anyhit=False,
+               skip_regs=0):
+    """Stackless W-ary collapsed-row walk (pair_walk generalized).
+
+    At a collapsed row X: test all child boxes, jump to the first hit
+    slot in octant order, else cont(X).  Subtree continuations thread
+    to the next slot's entry unconditionally (containment absorbs
+    entries into missed slots: one wasted gather each).  Skip
+    registers record slots proven missed at descend time and redirect
+    later jumps past them (chains resolved by repeated passes).
+    """
+    m = bvh.num_nodes
+    lo, hi = bvh.bounds[:, :3], bvh.bounds[:, 3:]
+    inv = safe_inv(d)
+    oct_ = ((d[:, 0] < 0).astype(np.int32)
+            | ((d[:, 1] < 0).astype(np.int32) << 1)
+            | ((d[:, 2] < 0).astype(np.int32) << 2))
+    children = collapse(bvh, width)
+    slots, _, conts = multi_links(bvh, children, width)
+    is_leaf = bvh.leaf_prim >= 0
+    is_coll = np.zeros(m, bool)
+    for x in children:
+        is_coll[x] = True
+    n = o.shape[0]
+    cur = np.zeros(n, np.int64)
+    best = t_cap.copy()
+    gath = np.zeros(n, np.int64)
+    waste = np.zeros(n, np.int64)
+    alive = np.ones(n, bool)
+    occl = np.zeros(n, bool)
+    reg_e = np.full((max(skip_regs, 1), n), -1, np.int64)
+    reg_s = np.full((max(skip_regs, 1), n), -1, np.int64)
+    while alive.any():
+        c = np.where(alive, cur, 0)
+        gath += alive
+        waste += alive & ~box_hit(lo[c], hi[c], o, inv, EPS_T, best)
+        leaf_here = is_leaf[c] & alive
+        if leaf_here.any():
+            cl = c[leaf_here]
+            t = mt(tris[cl, :, 0], tris[cl, :, 1], tris[cl, :, 2],
+                   o[leaf_here, None], d[leaf_here, None])
+            t = np.where((np.arange(k)[None] < cnt[cl, None]) & (t > 0)
+                         & (t < best[leaf_here, None]), t, MISS_T)
+            tmin = t.min(-1)
+            got = tmin < best[leaf_here]
+            bb = best[leaf_here]
+            bb[got] = tmin[got]
+            best[leaf_here] = bb
+            if anyhit:
+                oc = occl[leaf_here]
+                oc |= got
+                occl[leaf_here] = oc
+        # Collapsed internal row: test all W child slots.
+        sl = slots[oct_, c]                       # [n, W]
+        valid = sl < m
+        sc = np.where(valid, sl, 0)
+        hit = np.stack([box_hit(lo[sc[:, j]], hi[sc[:, j]], o, inv,
+                                EPS_T, best)
+                        for j in range(width)], -1) & valid
+        first = np.argmax(hit, -1)                 # first hit slot
+        anyh = hit.any(-1)
+        nxt_int = np.where(anyh, sl[np.arange(n), first], conts[oct_, c])
+        nxt = np.where(is_coll[c], nxt_int, conts[oct_, c])
+        if skip_regs:
+            # Push missed slots AFTER the descended one: jump target
+            # entry(slot j) redirects to its thread successor
+            # (entry(slot j+1) or cont(X)).
+            for j in range(width - 1, 0, -1):
+                if j + 1 < width:
+                    succ = np.where(valid[:, j + 1], sl[:, j + 1],
+                                    conts[oct_, c])
+                else:
+                    succ = conts[oct_, c]
+                push = (is_coll[c] & alive & anyh & valid[:, j]
+                        & ~hit[:, j] & (first < j))
+                for r in range(skip_regs - 1, 0, -1):
+                    reg_e[r] = np.where(push, reg_e[r - 1], reg_e[r])
+                    reg_s[r] = np.where(push, reg_s[r - 1], reg_s[r])
+                reg_e[0] = np.where(push, sl[:, j], reg_e[0])
+                reg_s[0] = np.where(push, succ, reg_s[0])
+            # Redirect (resolve chains with a few passes).
+            for _ in range(2):
+                for r in range(skip_regs):
+                    m_ = (nxt == reg_e[r]) & (reg_e[r] >= 0) & alive
+                    nxt = np.where(m_, reg_s[r], nxt)
+                    reg_e[r] = np.where(m_, -1, reg_e[r])
+        cur = np.where(alive, nxt, cur)
+        alive = (cur < m) & ~(occl if anyhit else np.zeros(n, bool))
+    return gath, best, occl, waste
+
+
 def primary_rays(cam, w, h):
     pos = np.asarray(cam.pos, np.float32)
     cx = np.asarray(cam.cx, np.float32)
@@ -295,13 +455,13 @@ def shadow_rays(arrays, n, seed=2):
     return o, d, (dist[:, 0] - 1e-3).astype(np.float32)
 
 
-def run_scene(name, leaf=8):
+def run_scene(name, leaf=8, c_isect=0.4):
     from tryraytrace_tpu.benchmarks import build_config
     cfg_name = {"teapot": "teapot512", "cow": "cow800",
                 "flythrough": "flythrough1080"}[name]
     arrays, *_ = build_config(cfg_name)
     bvh = build_bvh(arrays.tri_v0, arrays.tri_v1, arrays.tri_v2,
-                    leaf_size=leaf, method="sah")
+                    leaf_size=leaf, method="sah", c_isect=c_isect)
     arrays = arrays.permuted(bvh.perm)
     k = leaf
     tris, cnt = leaf_tris(bvh, arrays.tri_v0, arrays.tri_v1,
@@ -340,6 +500,21 @@ def run_scene(name, leaf=8):
                         "skip1": float(g3.mean() / g1.mean()),
                         "skip2": float(g4.mean() / g1.mean()),
                         "floor": float((g2 - waste).mean() / g1.mean())}
+        for width in (4, 8):
+            regs = {4: (0, 2, 3), 8: (0, 3, 6)}[width]
+            for sr in regs:
+                gw, tw, ocw, ww = multi_walk(bvh, tris, cnt, k, o, d,
+                                             cap, width, anyhit,
+                                             skip_regs=sr)
+                if anyhit:
+                    assert (oc1 == ocw).all(), f"w{width} occl mismatch"
+                else:
+                    np.testing.assert_array_equal(t1, tw)
+                results[pop][f"w{width}s{sr}"] = float(gw.mean()
+                                                       / g1.mean())
+                if sr == 0:
+                    results[pop][f"w{width}floor"] = float(
+                        (gw - ww).mean() / g1.mean())
     # Weighted by the headline mix: 61% surface (primary+bounce), 39%
     # shadow (BENCH_r01: 241.6M path / 156.3M NEE).
     surf = 0.5 * (results["primary"]["classic"] + results["bounce"]["classic"])
@@ -348,8 +523,8 @@ def run_scene(name, leaf=8):
     mix_p = 0.61 * surf_p + 0.39 * results["shadow"]["pair"]
     results["mix"] = {"classic": mix_c, "pair": mix_p,
                       "ratio": mix_p / mix_c}
-    print(json.dumps({"scene": name, "leaf": leaf, "nodes": bvh.num_nodes,
-                      **results}, indent=1))
+    print(json.dumps({"scene": name, "leaf": leaf, "c_isect": c_isect,
+                      "nodes": bvh.num_nodes, **results}, indent=1))
 
 
 if __name__ == "__main__":
@@ -358,5 +533,9 @@ if __name__ == "__main__":
     ap.add_argument("--leaf", type=int, default=8,
                     help="fat-leaf size (pair rows fit <=11 in the "
                          "free 112-float row budget)")
+    ap.add_argument("--c-isect", type=float, default=0.4,
+                    help="SAH intersection cost (0.4 = the threaded-"
+                         "walk optimum; pair halves internal-visit "
+                         "cost, so the optimum may shift)")
     args = ap.parse_args()
-    run_scene(args.scene, args.leaf)
+    run_scene(args.scene, args.leaf, args.c_isect)

@@ -24,3 +24,27 @@ def test_bench_smoke(capsys, monkeypatch):
     assert result["value"] > 0
     # both fields are independently rounded in the report
     assert abs(result["vs_baseline"] - result["value"] / 200.0) < 5e-4
+
+
+def test_cli_bench_config_forwards_traversal(monkeypatch, capsys):
+    """`tpurt bench --config X --traversal pair` must reach the
+    RenderConfig (it was silently dropped before round 2)."""
+    from tryraytrace_tpu import benchmarks, cli
+
+    seen = {}
+
+    def fake_run_config(name, frames=2, engine=None, fly=False,
+                        cfg_kw=None):
+        seen["name"], seen["cfg_kw"] = name, cfg_kw
+        return {"config": name}
+
+    monkeypatch.setattr(benchmarks, "run_config", fake_run_config)
+    monkeypatch.setattr(sys, "argv", [
+        "tpurt", "bench", "--config", "cow800", "--traversal", "pair",
+        "--leaf-size", "6",
+    ])
+    rc = cli.main()
+    assert rc == 0
+    assert seen["name"] == "cow800"
+    assert seen["cfg_kw"] == {"bvh_leaf_size": 6, "traversal": "pair"}
+    capsys.readouterr()

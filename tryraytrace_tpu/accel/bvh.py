@@ -97,7 +97,8 @@ def centroids(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> np.ndarray:
 
 def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
               use_native: bool = True, leaf_size: int = 1,
-              method: str = "median") -> LinearBVH:
+              method: str = "median",
+              c_isect: float = 0.4) -> LinearBVH:
     """Build a threaded BVH.
 
     method="median": the reference's algorithm exactly (longest axis,
@@ -123,7 +124,9 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     cent = centroids(v0, v1, v2)
 
     if method == "sah":
-        if use_native:
+        # The native builder hardcodes the tuned c_isect; non-default
+        # values (cost-model sweeps) take the NumPy path.
+        if use_native and c_isect == 0.4:
             from tryraytrace_tpu import native
 
             if native.available():
@@ -133,7 +136,7 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
                      right, axis, _) = res
                     return LinearBVH(bounds, leaf_prim, leaf_count,
                                      miss, left, right, axis, perm)
-        return _build_sah(pb, cent, leaf_size)
+        return _build_sah(pb, cent, leaf_size, c_isect=c_isect)
     if method == "sbvh":
         return _build_sbvh(pb, v0, v1, v2, leaf_size)
 

@@ -255,8 +255,14 @@ def cmd_bench(args) -> int:
         from tryraytrace_tpu.benchmarks import CONFIGS, run_config
 
         names = CONFIGS if args.config == "all" else [args.config]
-        cfg_kw = ({"bvh_leaf_size": args.leaf_size}
-                  if args.leaf_size is not None else None)
+        cfg_kw = {}
+        if args.leaf_size is not None:
+            cfg_kw["bvh_leaf_size"] = args.leaf_size
+        if getattr(args, "traversal", None):
+            cfg_kw["traversal"] = args.traversal
+        if getattr(args, "scheduler", None):
+            cfg_kw["scheduler"] = args.scheduler
+        cfg_kw = cfg_kw or None
         for name in names:
             print(json.dumps(run_config(name, frames=args.frames,
                                         cfg_kw=cfg_kw)),

@@ -79,7 +79,7 @@ class DeviceScene:
 
 
 def _build_auto_leaf(arrays: SceneArrays, method: str,
-                     traversal: str = "threaded"):
+                     traversal: str = "threaded", c_isect: float = 0.4):
     """Auto leaf size: the largest fat leaf whose fused traversal
     table stays under the measured ~3 MB gather knee (tables above it
     pay ~0.06 ms/MB per in-loop row fetch, docs/PERFORMANCE.md).
@@ -98,7 +98,7 @@ def _build_auto_leaf(arrays: SceneArrays, method: str,
     candidates = (8, 6, 4)
     for cand in candidates:
         bvh = build_bvh(arrays.tri_v0, arrays.tri_v1, arrays.tri_v2,
-                        leaf_size=cand, method=method)
+                        leaf_size=cand, method=method, c_isect=c_isect)
         width = width_of(
             int(max(1, bvh.leaf_count.max())) if bvh.num_nodes else 1)
         if bvh.num_nodes * width * 4 <= knee_bytes or cand == candidates[-1]:
@@ -138,7 +138,8 @@ def auto_shade_every(bvh: LinearBVH, arrays: SceneArrays,
 
 def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
                  device_put=True, leaf_size: int = 8,
-                 method: str = "sah", traversal: str = "threaded"
+                 method: str = "sah", traversal: str = "threaded",
+                 c_isect: float = 0.4
                  ) -> tuple[DeviceScene, tuple, LinearBVH]:
     """Build the BVH (reordering primitives, main.cpp:82-86 contract),
     then assemble the device pytree.
@@ -148,10 +149,12 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
     """
     if bvh is None:
         if leaf_size <= 0:
-            bvh, leaf_size = _build_auto_leaf(arrays, method, traversal)
+            bvh, leaf_size = _build_auto_leaf(arrays, method, traversal,
+                                              c_isect)
         else:
             bvh = build_bvh(arrays.tri_v0, arrays.tri_v1, arrays.tri_v2,
-                            leaf_size=leaf_size, method=method)
+                            leaf_size=leaf_size, method=method,
+                            c_isect=c_isect)
     leaf_size = int(max(1, bvh.leaf_count.max())) if bvh.num_nodes else 1
     ordered = arrays.permuted(bvh.perm) if bvh.perm.size else arrays
 
