@@ -43,7 +43,7 @@ def main() -> int:
     ap.add_argument("--leaf-size", type=int, default=None)
     ap.add_argument("--bvh", default=None, help="sah | median")
     ap.add_argument("--traversal", default=None,
-                    help="threaded | fatnode | pair")
+                    help="threaded | fatnode | pair | quad")
     ap.add_argument("--max-wave", type=int, default=None)
     ap.add_argument("--dual-walk", action=argparse.BooleanOptionalAction,
                     default=None, help="--dual-walk / --no-dual-walk "

@@ -41,7 +41,8 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-from tryraytrace_tpu.accel.bvh import build_bvh, thread_octant  # noqa: E402
+from tryraytrace_tpu.accel.bvh import (build_bvh, collapse_bvh,  # noqa: E402
+                                       thread_octant)
 from tryraytrace_tpu.camera.controller import CameraController  # noqa: E402
 from tryraytrace_tpu.scene.cornell import create_cornell_box  # noqa: E402
 from tryraytrace_tpu.scene.model import flatten_scene  # noqa: E402
@@ -242,42 +243,6 @@ def pair_walk(bvh, tris, cnt, k, o, d, t_cap, anyhit=False,
     return gath, best, occl, waste
 
 
-def collapse(bvh, width):
-    """Collapse the binary BVH into a ``width``-ary tree.
-
-    Returns {root_binary_id: [child binary ids]} for every collapsed
-    node, where children are original binary node ids (internal
-    children become collapsed-node roots themselves; leaf children
-    stay leaves).  Expansion is SAH-greedy: repeatedly expand the
-    internal child with the largest surface area until ``width``
-    children or all leaves.
-    """
-    is_leaf = bvh.leaf_prim >= 0
-
-    def area(c):
-        lo, hi = bvh.bounds[c, :3], bvh.bounds[c, 3:]
-        e = np.maximum(hi - lo, 0)
-        return float(e[0] * e[1] + e[1] * e[2] + e[2] * e[0])
-
-    children = {}
-    todo = [0]
-    while todo:
-        x = todo.pop()
-        if is_leaf[x] or x in children:
-            continue
-        out = [int(bvh.left[x]), int(bvh.right[x])]
-        while len(out) < width:
-            cands = [i for i, c in enumerate(out) if not is_leaf[c]]
-            if not cands:
-                break
-            i = max(cands, key=lambda i: area(out[i]))
-            c = out.pop(i)
-            out[i:i] = [int(bvh.left[c]), int(bvh.right[c])]
-        children[x] = out
-        todo.extend(c for c in out if not is_leaf[c])
-    return children
-
-
 def multi_links(bvh, children, width):
     """Per-octant W-ary walk links over the collapsed tree.
 
@@ -328,7 +293,7 @@ def multi_walk(bvh, tris, cnt, k, o, d, t_cap, width, anyhit=False,
     oct_ = ((d[:, 0] < 0).astype(np.int32)
             | ((d[:, 1] < 0).astype(np.int32) << 1)
             | ((d[:, 2] < 0).astype(np.int32) << 2))
-    children = collapse(bvh, width)
+    children = collapse_bvh(bvh, width)
     slots, _, conts = multi_links(bvh, children, width)
     is_leaf = bvh.leaf_prim >= 0
     is_coll = np.zeros(m, bool)

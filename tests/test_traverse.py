@@ -191,3 +191,69 @@ def test_pair_any_hit_matches_brute_force():
         occ_ref = _occluded_brute(pv0, pv1, pv2, o, d, max_dist,
                                   np.ones(256, bool))
         np.testing.assert_array_equal(np.asarray(occ), occ_ref)
+
+
+def test_quad_closest_matches_threaded_exactly():
+    """The quad walk (4-wide collapsed rows, 3-slot skip file) must
+    return bit-identical (t, prim) to the threaded walk: same windows,
+    same strict-< update; skipped/absorbed entries are only ones
+    containment proves fruitless."""
+    from tryraytrace_tpu.accel.bvh import pack_quad_table, pack_traversal_table
+    from tryraytrace_tpu.ops.traverse import closest_hit_packed, closest_hit_quad
+
+    for seed, n_tris in ((0, 5), (1, 33), (2, 128), (3, 501)):
+        for method, K in (("median", 1), ("sah", 8)):
+            v0, v1, v2 = _random_scene(n_tris, seed)
+            bvh = build_bvh(v0, v1, v2, method=method, leaf_size=K)
+            pv0, pv1, pv2 = v0[bvh.perm], v1[bvh.perm], v2[bvh.perm]
+            kk = int(max(1, bvh.leaf_count.max()))
+            tq = jnp.asarray(pack_quad_table(bvh, pv0, pv1, pv2, leaf_size=kk))
+            tc = jnp.asarray(pack_traversal_table(bvh, pv0, pv1, pv2,
+                                                  leaf_size=kk))
+            assert tq.shape[0] <= tc.shape[0]  # collapsed rows drop out
+            o, d = _random_rays(256, seed)
+            act = jnp.ones(256, bool)
+            t_ref, hid_ref = closest_hit_packed(tc, kk, jnp.asarray(o),
+                                                jnp.asarray(d), act)
+            t, hid = closest_hit_quad(tq, kk, jnp.asarray(o),
+                                      jnp.asarray(d), act)
+            np.testing.assert_array_equal(np.asarray(t), np.asarray(t_ref))
+            np.testing.assert_array_equal(np.asarray(hid),
+                                          np.asarray(hid_ref))
+            t_bf, _ = _brute_closest(pv0, pv1, pv2, o, d)
+            np.testing.assert_allclose(np.asarray(t), t_bf, rtol=1e-5)
+
+
+def test_quad_any_hit_matches_brute_force():
+    from tryraytrace_tpu.accel.bvh import pack_quad_table
+    from tryraytrace_tpu.ops.traverse import any_hit_quad
+    from tryraytrace_tpu.oracle.cpu_renderer import _occluded_brute
+
+    for seed, n_tris in ((0, 17), (1, 99)):
+        v0, v1, v2 = _random_scene(n_tris, seed)
+        bvh = build_bvh(v0, v1, v2, method="sah", leaf_size=8)
+        pv0, pv1, pv2 = v0[bvh.perm], v1[bvh.perm], v2[bvh.perm]
+        table = jnp.asarray(pack_quad_table(bvh, pv0, pv1, pv2,
+                                            leaf_size=8))
+        o, d = _random_rays(256, seed + 50)
+        max_dist = np.full(256, 6.0, np.float32)
+        occ = any_hit_quad(table, 8, jnp.asarray(o), jnp.asarray(d),
+                           jnp.asarray(max_dist), jnp.ones(256, bool))
+        occ_ref = _occluded_brute(pv0, pv1, pv2, o, d, max_dist,
+                                  np.ones(256, bool))
+        np.testing.assert_array_equal(np.asarray(occ), occ_ref)
+
+
+def test_quad_collapse_is_topology_only():
+    """A bounds refit must not change the collapse (the packed quad
+    table keeps its shape so the jitted engine program is reused)."""
+    from tryraytrace_tpu.accel.bvh import collapse_bvh, refit_bvh
+
+    v0, v1, v2 = _random_scene(200, 7)
+    bvh = build_bvh(v0, v1, v2, method="sah", leaf_size=8)
+    pv0, pv1, pv2 = v0[bvh.perm], v1[bvh.perm], v2[bvh.perm]
+    before = collapse_bvh(bvh)
+    moved = refit_bvh(bvh, pv0 * 1.7 + 0.3, pv1 * 1.7 + 0.3,
+                      pv2 * 1.7 + 0.3)
+    after = collapse_bvh(moved)
+    assert before == after

@@ -935,6 +935,172 @@ def pack_pair_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
     return table
 
 
+# --- Quad-row traversal table (traversal v5, "quad") ------------------
+#
+# The pair walk generalized to 4-wide collapsed rows: the binary tree
+# is collapsed into a 4-ary one (each collapsed node's children are
+# original binary nodes -- greedy largest-surface-area expansion), and
+# an internal row holds all (up to) four children's boxes.  A fetched
+# row tests four boxes and jumps to the FIRST hit child in per-octant
+# approximate front-to-back order (children sorted by centroid
+# projected on the octant direction); subtree continuations thread to
+# the next ordered sibling's entry unconditionally -- entering a
+# missed sibling is absorbed by containment exactly like the pair
+# walk's far child.  A 3-slot per-lane skip-register file (entry ->
+# thread successor, pushed for each known-missed later sibling at
+# descend time, LIFO) removes most of that waste.  Decision sim
+# (scripts/sim_pair_walk.py multi_walk): 0.52-0.64x the threaded
+# walk's gathers on the bench scenes -- 19-29% below the landed pair
+# walk -- at the same ~4 ns/lane row-fetch cost (3 extra slab tests
+# and the register selects ride the gather).  Rows are compacted
+# (absorbed binary internals drop out), so the table SHRINKS vs pair:
+# ~half the internal rows.  Replaces the reference's int stack[32]
+# walk (renderer.cu:387-424) like the threaded/pair layouts.
+#
+# Row layout float32[R, 10 + max(37, 9K)]:
+#   col 0: prim_start (-1 for internal)
+#   col 1: prim_count
+#   cols 2:10: per-octant continuation after this node's subtree
+#   internal body (cols 10:47):
+#     +0:24   4 child boxes, canonical (build) slot order; pad slots
+#             hold inverted boxes (lo=+inf, hi=-inf: never hit)
+#     +24:28  4 child entry row ids (pad: sentinel R)
+#     +28     nslots (2..4)
+#     +29:37  per-octant position->slot permutation, 2 bits/position
+#   leaf:     cols 10:10+9K inline triangles (as the pair table)
+
+QUAD_WIDTH = 4
+QUAD_COL_CONT = 2
+QUAD_COL_BODY = 10
+QB_BOX = 0        # body-relative offsets
+QB_ENT = 24
+QB_NSLOTS = 28
+QB_PERM = 29
+QUAD_BODY_INT = 37
+
+
+def quad_row_width(leaf_size: int) -> int:
+    return QUAD_COL_BODY + max(QUAD_BODY_INT, 9 * leaf_size)
+
+
+def collapse_bvh(bvh: LinearBVH, width: int = QUAD_WIDTH) -> dict:
+    """Collapse the binary BVH into a ``width``-ary tree.
+
+    Returns {binary root id: [child binary ids]} for every collapsed
+    node; children are original binary node ids (internal children
+    become collapsed roots themselves, leaf children stay leaves).
+    Expansion is greedy by subtree primitive count (the heavy subtree
+    is the one worth splitting finer at the row).  The criterion is
+    TOPOLOGY-ONLY on purpose: a bounds refit (refit_bvh) must produce
+    the identical collapse so the packed table keeps its shape and
+    the engine's compiled program is reused."""
+    is_leaf = bvh.leaf_prim >= 0
+    m = bvh.num_nodes
+    # Subtree primitive counts, children-before-parents (the linear
+    # layout stores children after their parent, so a reverse sweep
+    # has both child counts ready).
+    prims = np.where(is_leaf, bvh.leaf_count, 0).astype(np.int64)
+    for x in range(m - 1, -1, -1):
+        if not is_leaf[x]:
+            prims[x] = prims[bvh.left[x]] + prims[bvh.right[x]]
+    children: dict[int, list[int]] = {}
+    todo = [0]
+    while todo:
+        x = todo.pop()
+        if is_leaf[x] or x in children:
+            continue
+        out = [int(bvh.left[x]), int(bvh.right[x])]
+        while len(out) < width:
+            cands = [i for i, c in enumerate(out) if not is_leaf[c]]
+            if not cands:
+                break
+            i = max(cands, key=lambda i: (prims[out[i]], -out[i]))
+            c = out.pop(i)
+            out[i:i] = [int(bvh.left[c]), int(bvh.right[c])]
+        children[x] = out
+        todo.extend(c for c in out if not is_leaf[c])
+    return children
+
+
+def pack_quad_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
+                    v2: np.ndarray,
+                    leaf_size: int | None = None) -> np.ndarray:
+    m = bvh.num_nodes
+    k = int(leaf_size if leaf_size is not None
+            else max(1, bvh.leaf_count.max() if m else 1))
+    w = quad_row_width(k)
+    if m == 0:
+        return np.zeros((0, w), np.float32)
+    if bvh.leaf_count.max() > k:
+        raise ValueError(
+            f"leaf_size {k} < max leaf count {bvh.leaf_count.max()}")
+    is_leaf = bvh.leaf_prim >= 0
+    children = collapse_bvh(bvh)
+    # Compact row ids: collapsed roots + binary leaves, in binary-id
+    # order (the binary root is node 0, so its row is 0).  Absorbed
+    # binary internals have no row.
+    used = sorted(set(children.keys())
+                  | set(np.nonzero(is_leaf)[0].tolist()))
+    rowid = {b: r for r, b in enumerate(used)}
+    nrows = len(used)
+    assert used[0] == 0 or is_leaf[0]
+    table = np.zeros((nrows, w), np.float32)
+    table[:, 0] = bvh.leaf_prim[used].astype(np.float32)
+    table[:, 1] = bvh.leaf_count[used].astype(np.float32)
+
+    # Canonical slots + boxes + entries (octant-independent).
+    b0 = QUAD_COL_BODY
+    for x, kids in children.items():
+        r = rowid[x]
+        ns = len(kids)
+        for i in range(QUAD_WIDTH):
+            if i < ns:
+                table[r, b0 + QB_BOX + 6 * i:b0 + QB_BOX + 6 * i + 6] = (
+                    bvh.bounds[kids[i]])
+                table[r, b0 + QB_ENT + i] = rowid[kids[i]]
+            else:
+                table[r, b0 + QB_BOX + 6 * i:b0 + QB_BOX + 6 * i + 3] = 1e30
+                table[r, b0 + QB_BOX + 6 * i + 3:
+                      b0 + QB_BOX + 6 * i + 6] = -1e30
+                table[r, b0 + QB_ENT + i] = nrows
+        table[r, b0 + QB_NSLOTS] = ns
+
+    # Per-octant ordering (approximate front-to-back: centroid dot the
+    # octant direction) -> the position permutation, and the threaded
+    # continuations over the collapsed tree.
+    cent = 0.5 * (bvh.bounds[:, :3] + bvh.bounds[:, 3:])
+    for ob in range(NUM_OCTANTS):
+        sign = np.array([1 - 2 * ((ob >> a) & 1) for a in range(3)],
+                        np.float32)
+        stack = [(0, nrows)]
+        while stack:
+            x, cont = stack.pop()
+            table[rowid[x], QUAD_COL_CONT + ob] = cont
+            if x not in children:
+                continue
+            kids = children[x]
+            key = (cent[kids] * sign).sum(-1)
+            order = np.argsort(key, kind="stable")
+            perm = 0
+            for pos in range(QUAD_WIDTH):
+                slot = int(order[pos]) if pos < len(order) else 3
+                perm |= slot << (2 * pos)
+            table[rowid[x], QUAD_COL_BODY + QB_PERM + ob] = perm
+            for pos, oi in enumerate(order):
+                c = kids[oi]
+                nxt = (rowid[kids[order[pos + 1]]]
+                       if pos + 1 < len(order) else cont)
+                stack.append((int(c), int(nxt)))
+
+    tri_cat = np.concatenate([v0, v1, v2], axis=-1)
+    for x in np.nonzero(bvh.leaf_count > 0)[0]:
+        start = int(bvh.leaf_prim[x])
+        cnt = int(bvh.leaf_count[x])
+        table[rowid[x], QUAD_COL_BODY:QUAD_COL_BODY + 9 * cnt] = (
+            tri_cat[start:start + cnt].reshape(-1))
+    return table
+
+
 # Packed hit-data row layout (float32[37]): everything shading needs
 # about the hit primitive in one gather (rows are free to >= 112
 # floats on v5e, docs/PERFORMANCE.md).

@@ -33,7 +33,7 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--engine", default=None,
                    help="persistent | bounce (default: config)")
     p.add_argument("--traversal", default=None,
-                   help="threaded | fatnode | pair (default: config)")
+                   help="threaded | fatnode | pair | quad (default: config)")
     p.add_argument("--scheduler", default=None,
                    help="owner | pool | quota (default: config)")
     p.add_argument("--smooth", action="store_true",

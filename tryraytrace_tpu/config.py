@@ -149,8 +149,15 @@ class RenderConfig:
     # far child are absorbed by containment, and a one-slot per-lane
     # skip register removes most of that waste -- ~0.8x the threaded
     # walk's row fetches at the same per-step cost,
-    # scripts/sim_pair_walk.py).  Identical images for all three.
-    traversal: str = "threaded"
+    # scripts/sim_pair_walk.py), or "quad" (the pair scheme over a
+    # collapsed 4-ary tree: four boxes per row, first-hit branch in
+    # per-octant front-to-back order, 3-slot skip-register file --
+    # 0.52-0.64x the threaded walk's row fetches, the lowest of the
+    # four).  Identical images for all four.  Default "quad": measured
+    # fastest on every BASELINE config this round (teapot headline
+    # 20.25 vs pair 18.53 vs threaded 15.92 Mrays/s; cow +10%, teddy
+    # +5%, flythrough +11% over pair) -- see BASELINE.md.
+    traversal: str = "quad"
     # Traversal steps executed per while-loop iteration in the
     # persistent engine.  Measured on v5e, a loop iteration containing
     # gathers pays a ~0.27 ms fixed cost once regardless of how many

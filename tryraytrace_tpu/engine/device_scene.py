@@ -21,6 +21,7 @@ from tryraytrace_tpu.accel.bvh import (
     build_bvh,
     pack_fatnode_table,
     pack_pair_table,
+    pack_quad_table,
     pack_traversal_table,
     pack_trimat_table,
     refit_bvh,
@@ -51,6 +52,7 @@ class DeviceScene:
     node_table: jax.Array      # [M, 9K+24] threaded traversal rows
     fatnode_table: jax.Array   # [M, 2+max(14,9K)] fat-node traversal rows
     pair_table: jax.Array      # [M, 10+max(15,9K)] pair-row traversal rows
+    quad_table: jax.Array      # [R, 10+max(37,9K)] quad-row traversal rows
     trimat: jax.Array          # [T, 24] fused triangle+material rows
     num_lights: int = dataclasses.field(metadata=dict(static=True))
     # Static: any nonzero vertex normals in the scene?  When False the
@@ -87,12 +89,16 @@ def _build_auto_leaf(arrays: SceneArrays, method: str,
     scenes drop to 6 (measured +6% on flythrough1080).  Images are
     identical for any leaf size (closest-hit is order-independent).
 
-    The knee check uses the SELECTED traversal's row width: pair rows
-    (10 + 9K) are narrower than threaded rows (9K + 24), so scenes
-    near the knee keep bigger leaves under the pair walk."""
-    from tryraytrace_tpu.accel.bvh import pair_row_width, traversal_row_width
+    The knee check uses the SELECTED traversal's row count and width:
+    pair rows (10 + 9K) are narrower than threaded rows (9K + 24), and
+    quad tables drop the collapsed-away internal rows entirely, so
+    scenes near the knee keep bigger leaves under those walks."""
+    from tryraytrace_tpu.accel.bvh import (collapse_bvh, pair_row_width,
+                                           quad_row_width,
+                                           traversal_row_width)
 
     width_of = (pair_row_width if traversal == "pair"
+                else quad_row_width if traversal == "quad"
                 else traversal_row_width)
     knee_bytes = 3.0e6
     candidates = (8, 6, 4)
@@ -101,7 +107,11 @@ def _build_auto_leaf(arrays: SceneArrays, method: str,
                         leaf_size=cand, method=method, c_isect=c_isect)
         width = width_of(
             int(max(1, bvh.leaf_count.max())) if bvh.num_nodes else 1)
-        if bvh.num_nodes * width * 4 <= knee_bytes or cand == candidates[-1]:
+        rows = bvh.num_nodes
+        if traversal == "quad" and rows:
+            rows = (len(collapse_bvh(bvh))
+                    + int((bvh.leaf_count > 0).sum()))
+        if rows * width * 4 <= knee_bytes or cand == candidates[-1]:
             return bvh, cand
     raise AssertionError("unreachable")
 
@@ -138,7 +148,7 @@ def auto_shade_every(bvh: LinearBVH, arrays: SceneArrays,
 
 def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
                  device_put=True, leaf_size: int = 8,
-                 method: str = "sah", traversal: str = "threaded",
+                 method: str = "sah", traversal: str = "quad",
                  c_isect: float = 0.4
                  ) -> tuple[DeviceScene, tuple, LinearBVH]:
     """Build the BVH (reordering primitives, main.cpp:82-86 contract),
@@ -203,6 +213,10 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
             bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
             leaf_size=leaf_size) if traversal == "pair" else
             np.zeros((0, 25), np.float32)),
+        quad_table=put(pack_quad_table(
+            bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
+            leaf_size=leaf_size) if traversal == "quad" else
+            np.zeros((0, 47), np.float32)),
         trimat=put(pack_trimat_table(ordered)),
         num_lights=n_lights,
         leaf_size=leaf_size,
@@ -252,6 +266,10 @@ def refit_scene(dev: DeviceScene, bvh: LinearBVH, arrays: SceneArrays,
             new_bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
             leaf_size=leaf_size)) if int(dev.pair_table.shape[0])
         else dev.pair_table,
+        quad_table=put(pack_quad_table(
+            new_bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
+            leaf_size=leaf_size)) if int(dev.quad_table.shape[0])
+        else dev.quad_table,
         trimat=put(pack_trimat_table(ordered)),
     )
     return new, new_bvh

@@ -64,10 +64,14 @@ from tryraytrace_tpu.ops.traverse import (
     FATNODE_DEPTH,
     MISS_T,
     PAIR_COL_BODY,
+    QUAD_COL_BODY,
+    QUAD_REGS,
     _decode_links,
     _fat_leaf_intersect,
     _leaf_intersect,
     _pair_decode,
+    _quad_decode,
+    _regfile_apply,
     fatnode_step,
     ray_octant,
 )
@@ -139,12 +143,14 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
         pixel_idx = jnp.arange(n, dtype=jnp.int32)
     frame_seed = jnp.asarray(frame_seed).astype(jnp.uint32)
     k = scene.leaf_size
-    if cfg.traversal not in ("threaded", "fatnode", "pair"):
+    if cfg.traversal not in ("threaded", "fatnode", "pair", "quad"):
         raise ValueError(f"unknown traversal {cfg.traversal!r}")
     fat = cfg.traversal == "fatnode"
     pair = cfg.traversal == "pair"
+    quad = cfg.traversal == "quad"
     table = (scene.fatnode_table if fat
-             else scene.pair_table if pair else scene.node_table)
+             else scene.pair_table if pair
+             else scene.quad_table if quad else scene.node_table)
     sentinel = table.shape[0]
     col_ps = 6 + 9 * k
     # 0 = auto, resolved per scene by Renderer/ShardedRenderer/bench
@@ -180,6 +186,10 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
         raise ValueError(
             "cfg.traversal='pair' but the scene was uploaded without a "
             "pair-row table (upload_scene(traversal=...))")
+    if quad and scene.trimat.shape[0] > 0 and sentinel == 0:
+        raise ValueError(
+            "cfg.traversal='quad' but the scene was uploaded without a "
+            "quad-row table (upload_scene(traversal=...))")
     sample_stride = 2 if dual else 1
 
     # Inline shading (see _step): supported for the threaded walk +
@@ -257,6 +267,11 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
             # context so dual-walk muxes it with the rest.
             extra["reg_e"] = jnp.full((w,), -1, jnp.int32)
             extra["reg_s"] = jnp.full((w,), -1, jnp.int32)
+        if quad:
+            # 3-slot skip-register file, per walk context (the dual
+            # mux broadcasts over the trailing register axis).
+            extra["reg_e"] = jnp.full((w, QUAD_REGS), -1, jnp.int32)
+            extra["reg_s"] = jnp.full((w, QUAD_REGS), -1, jnp.int32)
         if inline_ctx is not None and inline_ctx["tex"] is not None:
             # TEXG material stash (albedo, metallic, roughness, ior,
             # transmission, fx, fy, front-face bit); nl/nl_off/emission
@@ -364,7 +379,8 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
 
     step_unroll = max(1, cfg.step_unroll)
 
-    step_fn = _step_fat if fat else _step_pair if pair else _step
+    step_fn = (_step_fat if fat else _step_pair if pair
+               else _step_quad if quad else _step)
 
     def lane_done(s):
         done = s["mode"] == DONE
@@ -792,6 +808,98 @@ def _step_pair(s, table, sentinel, k: int, col_ps: int, inline=None,
     cur = jnp.where(stepping, nxt, s["cur"])
 
     # Transitions (identical to _step).
+    t_done = live_t & (cur >= sentinel)
+    s_done = live_s & (occluded | (cur >= sentinel))
+    lit = s_done & ~occluded
+    rad = s["rad"] + jnp.where(lit[..., None], s["pend"], 0.0)
+
+    mode = s["mode"]
+    if inline is None:
+        mode = jnp.where(t_done, READY, mode)
+    else:
+        mode = jnp.where(t_done, jnp.where(hit_id >= 0, SHADEG, REFILL),
+                         mode)
+    mode = jnp.where(s_done,
+                     jnp.where(s["cont_after_shadow"], TRAVERSE, REFILL),
+                     mode)
+    cur = jnp.where(s_done, 0, cur)
+    d_min = jnp.where(s_done, MISS_T, d_min)
+    hit_id = jnp.where(s_done, -1, hit_id)
+
+    out = dict(s)
+    out.update(mode=mode, cur=cur, d_min=d_min, hit_id=hit_id, rad=rad,
+               reg_e=reg_e, reg_s=reg_s)
+    if service:
+        out = _service_shade(out, s, row, live_g, live_x, inline,
+                             tex_ctx)
+    return out
+
+
+def _step_quad(s, table, sentinel, k: int, col_ps: int, inline=None,
+               service: bool = True):
+    """One quad-row traversal step (accel/bvh.py pack_quad_table) for
+    TRAVERSE and SHADOW lanes, sharing the single row gather; with
+    ``inline`` the same slot serves SHADEG/TEXG exactly like _step.
+
+    Each fetched internal row tests FOUR collapsed children's boxes
+    and jumps to the first hit in per-octant front-to-back order; the
+    3-slot skip-register file (reg_e/reg_s [w, 3], per lane) removes
+    most containment-absorbed entries into known-missed siblings
+    (scripts/sim_pair_walk.py multi_walk: 0.52-0.64x the threaded
+    walk's gathers).  A lane at cur == 0 is starting a fresh walk, so
+    its register file resets first (no link ever re-enters the root).
+    """
+    live_t = s["mode"] == TRAVERSE
+    live_s = s["mode"] == SHADOW
+    stepping = live_t | live_s
+
+    fresh = ((s["cur"] == 0) & stepping)[..., None]
+    reg_e = jnp.where(fresh, -1, s["reg_e"])
+    reg_s = jnp.where(fresh, -1, s["reg_s"])
+
+    idx = jnp.where(stepping, jnp.minimum(s["cur"], sentinel - 1), 0)
+    service = service and inline is not None
+    tex_ctx = inline.get("tex") if service else None
+    live_g = live_x = None
+    if service:
+        idx, live_g, live_x = _service_select(s, idx, sentinel, inline,
+                                              tex_ctx)
+    row = table[idx]
+
+    ls3 = live_s[..., None]
+    ro = jnp.where(ls3, s["so"], s["o"])
+    rd = jnp.where(ls3, s["sd"], s["d"])
+    inv = jnp.where(ls3, 1.0 / rd, vec.safe_inv(rd, jnp))
+    t_min = jnp.where(live_s, jnp.float32(1e-3), jnp.float32(0.0))
+
+    prim_start = row[:, 0].astype(jnp.int32)
+    prim_count = row[:, 1].astype(jnp.int32)
+    is_leaf = prim_start >= 0
+
+    def window(t):
+        return jnp.where(live_s,
+                         (t > 1e-3) & (t < s["smax"] - 1e-3),
+                         t < s["d_min"])
+
+    best_t, best_id = _fat_leaf_intersect(
+        row, k, ro, rd, prim_start, prim_count, window,
+        base0=QUAD_COL_BODY)
+
+    found = stepping & is_leaf & (best_id >= 0)
+    d_min = jnp.where(found & live_t, best_t, s["d_min"])
+    hit_id = jnp.where(found & live_t, best_id, s["hit_id"])
+    occluded = found & live_s
+
+    t_max = jnp.where(live_s, s["smax"], d_min)
+    octant = ray_octant(rd)
+    cont, nxt_int, pushes = _quad_decode(row, octant, ro, inv,
+                                         t_min, t_max)
+    nxt = jnp.where(is_leaf, cont, nxt_int)
+    reg_e, reg_s, nxt = _regfile_apply(reg_e, reg_s, pushes, nxt,
+                                       stepping, ~is_leaf & stepping)
+    cur = jnp.where(stepping, nxt, s["cur"])
+
+    # Transitions (identical to _step/_step_pair).
     t_done = live_t & (cur >= sentinel)
     s_done = live_s & (occluded | (cur >= sentinel))
     lit = s_done & ~occluded

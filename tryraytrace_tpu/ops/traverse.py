@@ -28,7 +28,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tryraytrace_tpu.accel.bvh import PAIR_COL_BODY, PAIR_COL_CONT
+from tryraytrace_tpu.accel.bvh import (
+    PAIR_COL_BODY,
+    PAIR_COL_CONT,
+    QB_ENT,
+    QB_NSLOTS,
+    QB_PERM,
+    QUAD_COL_BODY,
+    QUAD_COL_CONT,
+)
 from tryraytrace_tpu.core import vec
 from tryraytrace_tpu.ops.aabb import aabb_hit, aabb_slab
 from tryraytrace_tpu.ops.intersect import moller_trumbore
@@ -342,6 +350,181 @@ def any_hit_pair(table, k: int, r_o, r_d, max_dist, active):
         cur, reg_e, reg_s, occ = s
         live = cur < sentinel
         cur, reg_e, reg_s, _, lid = pair_step(
+            table, k, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
+            jnp.float32(1e-3), max_dist,
+            lambda t: (t > 1e-3) & (t < max_dist - 1e-3), live)
+        occ = occ | (lid >= 0)
+        cur = jnp.where(occ, sentinel, cur)
+        return cur, reg_e, reg_s, occ
+
+    _, _, _, occ = jax.lax.while_loop(cond, body, state)
+    return occ
+
+
+# --- Quad-row traversal (v5; see accel/bvh.py pack_quad_table) -------
+#
+# Four-boxes-per-row stackless walk over the collapsed 4-ary tree: a
+# fetched internal row tests all child boxes and jumps to the first
+# hit child in per-octant front-to-back order; missed later siblings
+# entered through the thread are absorbed by containment, and a
+# 3-slot skip-register file removes most of that waste.  0.52-0.64x
+# the threaded walk's gathers on the bench scenes
+# (scripts/sim_pair_walk.py multi_walk).
+
+QUAD_REGS = 3
+
+
+def _quad_decode(row, octant, r_o, inv_d, t_min, t_max):
+    """Internal-row decode for the quad walk.
+
+    Returns (cont, nxt_int, pushes) where ``pushes`` is a list of
+    (push, target, succ) triples in LIFO order (nearest missed sibling
+    last, so after pushing in sequence it sits at register slot 0).
+    All elementwise selects riding the row gather."""
+    cont = jnp.zeros(row.shape[0], jnp.float32)
+    perm = jnp.zeros(row.shape[0], jnp.float32)
+    for o in range(8):
+        oo = (octant == o).astype(jnp.float32)
+        cont = cont + oo * row[:, QUAD_COL_CONT + o]
+        perm = perm + oo * row[:, QUAD_COL_BODY + QB_PERM + o]
+    cont = cont.astype(jnp.int32)
+    perm = jnp.clip(perm, 0, 255).astype(jnp.int32)
+    b = QUAD_COL_BODY
+    hits_c = [aabb_hit(row[:, b + 6 * i:b + 6 * i + 6], r_o, inv_d,
+                       t_min, t_max) for i in range(4)]
+    ents_c = [row[:, b + QB_ENT + i].astype(jnp.int32) for i in range(4)]
+    nsl = jnp.clip(row[:, b + QB_NSLOTS], 0, 4).astype(jnp.int32)
+
+    def mux4(slot, vals, zero):
+        out = zero
+        for j in range(4):
+            out = jnp.where(slot == j, vals[j], out)
+        return out
+
+    hit_p, ent_p = [], []
+    for pos in range(4):
+        slot = (perm >> (2 * pos)) & 3
+        valid = pos < nsl
+        hit_p.append(mux4(slot, hits_c, hits_c[0]) & valid)
+        ent_p.append(mux4(slot, ents_c, ents_c[0]))
+    nxt_int = cont
+    for pos in range(3, -1, -1):
+        nxt_int = jnp.where(hit_p[pos], ent_p[pos], nxt_int)
+    pushes = []
+    prefix = hit_p[0]
+    for pos in range(1, 4):
+        valid = pos < nsl
+        succ = (jnp.where(pos + 1 < nsl, ent_p[pos + 1], cont)
+                if pos < 3 else cont)
+        pushes.append((prefix & ~hit_p[pos] & valid, ent_p[pos], succ))
+        prefix = prefix | hit_p[pos]
+    pushes.reverse()  # push farthest first so nearest lands at slot 0
+    return cont, nxt_int, pushes
+
+
+def _regfile_apply(reg_e, reg_s, pushes, nxt, live, gate):
+    """Advance the skip-register file: shift-push each (push, target,
+    succ) triple (already LIFO-ordered), then redirect ``nxt`` past
+    known-missed entries, consuming matches.  Two redirect passes
+    resolve chained misses (a redirect landing on another registered
+    entry).  ``gate`` masks lanes whose row was internal and live.
+    reg_e/reg_s are [n, R]."""
+    es = [reg_e[:, r] for r in range(reg_e.shape[1])]
+    ss = [reg_s[:, r] for r in range(reg_s.shape[1])]
+    for push, tgt, succ in pushes:
+        p = push & gate
+        for r in range(len(es) - 1, 0, -1):
+            es[r] = jnp.where(p, es[r - 1], es[r])
+            ss[r] = jnp.where(p, ss[r - 1], ss[r])
+        es[0] = jnp.where(p, tgt, es[0])
+        ss[0] = jnp.where(p, succ, ss[0])
+    for _ in range(2):
+        for r in range(len(es)):
+            m = live & (es[r] >= 0) & (nxt == es[r])
+            nxt = jnp.where(m, ss[r], nxt)
+            es[r] = jnp.where(m, -1, es[r])
+    return jnp.stack(es, -1), jnp.stack(ss, -1), nxt
+
+
+def quad_step(table, k: int, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
+              t_min, t_max, window, live):
+    """One quad-row step shared by the closest/any-hit walks: gathers
+    each live lane's current row, MT-tests leaf rows, first-hit-
+    branches internal rows, and advances the 3-slot skip-register
+    file.  Returns (cur', reg_e', reg_s', leaf_t, leaf_id)."""
+    sentinel = table.shape[0]
+    idx = jnp.where(live, jnp.minimum(cur, sentinel - 1), 0)
+    row = table[idx]
+    prim_start = row[:, 0].astype(jnp.int32)
+    prim_count = row[:, 1].astype(jnp.int32)
+    is_leaf = prim_start >= 0
+
+    lt, lid = _fat_leaf_intersect(row, k, r_o, r_d, prim_start,
+                                  prim_count, window,
+                                  base0=QUAD_COL_BODY)
+    lid = jnp.where(live & is_leaf, lid, -1)
+
+    cont, nxt_int, pushes = _quad_decode(row, octant, r_o, inv_d,
+                                         t_min, t_max)
+    nxt = jnp.where(is_leaf, cont, nxt_int)
+    reg_e, reg_s, nxt = _regfile_apply(reg_e, reg_s, pushes, nxt, live,
+                                       ~is_leaf & live)
+    cur = jnp.where(live, nxt, cur)
+    return cur, reg_e, reg_s, lt, lid
+
+
+def closest_hit_quad(table, k: int, r_o, r_d, active):
+    """Closest-hit via the quad walk; same results as closest_hit
+    (closest-hit is order-independent)."""
+    n = r_o.shape[0]
+    sentinel = table.shape[0]
+    if sentinel == 0:
+        return jnp.full((n,), MISS_T), jnp.full((n,), -1, jnp.int32)
+    inv_d = vec.safe_inv(r_d, jnp)
+    octant = ray_octant(r_d)
+    cur0 = jnp.where(active, 0, sentinel).astype(jnp.int32)
+    reg0 = jnp.full((n, QUAD_REGS), -1, jnp.int32)
+    state = (cur0, reg0, reg0, jnp.full((n,), MISS_T),
+             jnp.full((n,), -1, jnp.int32))
+
+    def cond(s):
+        return jnp.any(s[0] < sentinel)
+
+    def body(s):
+        cur, reg_e, reg_s, d_min, hit_id = s
+        live = cur < sentinel
+        cur, reg_e, reg_s, lt, lid = quad_step(
+            table, k, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
+            jnp.float32(0.0), d_min, lambda t: t < d_min, live)
+        take = lid >= 0
+        d_min = jnp.where(take, lt, d_min)
+        hit_id = jnp.where(take, lid, hit_id)
+        return cur, reg_e, reg_s, d_min, hit_id
+
+    _, _, _, d_min, hit_id = jax.lax.while_loop(cond, body, state)
+    return d_min, hit_id
+
+
+def any_hit_quad(table, k: int, r_o, r_d, max_dist, active):
+    """Shadow traversal via the quad walk (trace_shadow parity: plain
+    1/d, constant (1e-3, max_dist) window, early exit)."""
+    n = r_o.shape[0]
+    sentinel = table.shape[0]
+    if sentinel == 0:
+        return jnp.zeros((n,), bool)
+    inv_d = (1.0 / r_d).astype(jnp.float32)
+    octant = ray_octant(r_d)
+    cur0 = jnp.where(active, 0, sentinel).astype(jnp.int32)
+    reg0 = jnp.full((n, QUAD_REGS), -1, jnp.int32)
+    state = (cur0, reg0, reg0, jnp.zeros((n,), bool))
+
+    def cond(s):
+        return jnp.any(s[0] < sentinel)
+
+    def body(s):
+        cur, reg_e, reg_s, occ = s
+        live = cur < sentinel
+        cur, reg_e, reg_s, _, lid = quad_step(
             table, k, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
             jnp.float32(1e-3), max_dist,
             lambda t: (t > 1e-3) & (t < max_dist - 1e-3), live)

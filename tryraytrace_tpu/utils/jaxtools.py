@@ -22,10 +22,23 @@ def host_fingerprint() -> str:
 
     blob = platform.machine()
     try:
+        # Flags AND model name: XLA:CPU bakes model-dependent codegen
+        # preferences (+prefer-no-gather/-scatter on gather-slow Intel
+        # parts) into the AOT target features, so two hosts with
+        # identical flag lines but different models still produce
+        # incompatible blobs (seen live: machine-feature-mismatch E
+        # logs on load).
+        got_flags = got_model = False
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
+                if not got_flags and line.startswith(("flags",
+                                                      "Features")):
                     blob += line
+                    got_flags = True
+                if not got_model and line.startswith("model name"):
+                    blob += line
+                    got_model = True
+                if got_flags and got_model:
                     break
     except OSError:
         blob += platform.processor() or ""
