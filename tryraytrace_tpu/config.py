@@ -168,11 +168,14 @@ class RenderConfig:
     # contexts and steps whichever one is mid-traversal, so the idle
     # steps a context spends waiting for its shade tick do the other
     # context's traversal instead.  Identical images (sample sets are
-    # interleaved even/odd).  Requires even spp >= 2 and the threaded
-    # traversal; falls back to single-walk otherwise.  Measured +1.5%
-    # at the 1080p/16spp headline (11.01 vs 10.85 Mrays/s) after the
-    # tick-priority fix.
-    dual_walk: bool = True
+    # interleaved even/odd).  Requires even spp >= 2 and a non-fatnode
+    # traversal + owner scheduler; falls back to single-walk otherwise.
+    # None = auto: OFF under the quad traversal (inline shading already
+    # removed the tick-wait dual hides, and quad's 3-slot register file
+    # doubles the dual mux cost -- measured 21.21 single vs 20.25 dual
+    # at the headline), ON under threaded/pair (15.92 dual vs 15.59
+    # single threaded).
+    dual_walk: bool | None = None
     # Readiness-triggered shading: additionally fire the shade tick as
     # soon as this fraction of lanes is waiting in READY/REFILL (0 =
     # cadence only).  Identical images for any value.  Measured on v5e
@@ -224,10 +227,14 @@ class RenderConfig:
     # Exact lane permutations; identical images.  Each stage compiles
     # its own loop body (compile time grows with stages).
     # Measured on v5e (headline): stages 4 = +24% (13.61 vs 11.01
-    # Mrays/s); stages 6 (widths below 4096 lanes) collapses to 2.2 --
-    # don't go past 4 at the default 65k wave.
+    # Mrays/s) under the threaded walk, where stages 6 (widths below
+    # 4096 lanes) collapsed to 2.2.  Under the shorter quad walks the
+    # optimum moved deeper -- the narrow-width stages now drain more
+    # than they cost: quad+single-walk 4/5/6/7/8 -> 21.21 / 21.76 /
+    # 21.99 / 22.05 / 22.05.  Default 6: 7+ is inside run noise and
+    # every stage compiles its own loop body.
     tail_spill: bool = True
-    spill_stages: int = 4
+    spill_stages: int = 6
     # Cap on persistent-wave width: frames with more pixels render in
     # sequential pixel chunks of at most this many lanes (0 = one
     # wave).  RNG streams are absolute, so chunking never changes the

@@ -180,7 +180,13 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     w = min(n, mw) if pool else n
     n_items = n if pool else 0  # 0 disables pool logic downstream
 
-    dual = (cfg.dual_walk and not fat and not pool
+    # None = auto: dual-walk's idle-hiding no longer pays under the
+    # inline+quad default (measured 21.21 single vs 20.25 dual at the
+    # headline: inline shading already removed the tick-wait it hides,
+    # and quad doubles its register-file mux cost), but it still wins
+    # under threaded/pair (15.92 vs 15.59 threaded).
+    dual_req = cfg.dual_walk if cfg.dual_walk is not None else not quad
+    dual = (dual_req and not fat and not pool
             and spp >= 2 and spp % 2 == 0)
     if pair and scene.trimat.shape[0] > 0 and sentinel == 0:
         raise ValueError(
