@@ -161,11 +161,14 @@ def main() -> int:
     log(f"[bench] steady state: {dt * 1e3:.1f} ms/frame over "
         f"{args.frames} frames -> {mrays:.2f} Mrays/s")
 
+    # Two decimals for real runs; tiny smoke configs (CPU, 16x12) fall
+    # below 0.005 Mrays/s and must not round to a lying 0.0.
+    value = round(mrays, 2) if mrays >= 0.05 else float(f"{mrays:.2g}")
     result = {
         "metric": (f"Mrays/s/chip, {args.mesh} {w}x{h} {spp}spp "
                    f"(path+shadow rays / frame time, engine="
                    f"{cfg.engine})"),
-        "value": round(mrays, 2),
+        "value": value,
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 200.0, 4),
         "ms_per_frame": round(dt * 1e3, 2),
