@@ -960,13 +960,15 @@ def pack_pair_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
 # Row layout float32[R, 10 + max(37, 9K)]:
 #   col 0: prim_start (-1 for internal)
 #   col 1: prim_count
-#   cols 2:10: per-octant continuation after this node's subtree
-#   internal body (cols 10:47):
+#   cols 2:10: per-octant cont*256 + position->slot permutation
+#             (2 bits/position; 0 for leaf rows) -- packed so the
+#             walk's octant mux reads ONE column per octant.  Exact
+#             in f32 while R <= 32767 (cont*256+255 < 2^23).
+#   internal body (cols 10:39):
 #     +0:24   4 child boxes, canonical (build) slot order; pad slots
 #             hold inverted boxes (lo=+inf, hi=-inf: never hit)
 #     +24:28  4 child entry row ids (pad: sentinel R)
 #     +28     nslots (2..4)
-#     +29:37  per-octant position->slot permutation, 2 bits/position
 #   leaf:     cols 10:10+9K inline triangles (as the pair table)
 
 QUAD_WIDTH = 4
@@ -975,8 +977,7 @@ QUAD_COL_BODY = 10
 QB_BOX = 0        # body-relative offsets
 QB_ENT = 24
 QB_NSLOTS = 28
-QB_PERM = 29
-QUAD_BODY_INT = 37
+QUAD_BODY_INT = 29
 
 
 def quad_row_width(leaf_size: int) -> int:
@@ -1043,6 +1044,10 @@ def pack_quad_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
                   | set(np.nonzero(is_leaf)[0].tolist()))
     rowid = {b: r for r, b in enumerate(used)}
     nrows = len(used)
+    if nrows > 32767:
+        raise ValueError(
+            f"quad table has {nrows} rows; the packed cont*256+perm "
+            "column is exact in float32 only up to 32767 rows")
     assert used[0] == 0 or is_leaf[0]
     table = np.zeros((nrows, w), np.float32)
     table[:, 0] = bvh.leaf_prim[used].astype(np.float32)
@@ -1075,8 +1080,8 @@ def pack_quad_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
         stack = [(0, nrows)]
         while stack:
             x, cont = stack.pop()
-            table[rowid[x], QUAD_COL_CONT + ob] = cont
             if x not in children:
+                table[rowid[x], QUAD_COL_CONT + ob] = cont * 256
                 continue
             kids = children[x]
             key = (cent[kids] * sign).sum(-1)
@@ -1085,7 +1090,7 @@ def pack_quad_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
             for pos in range(QUAD_WIDTH):
                 slot = int(order[pos]) if pos < len(order) else 3
                 perm |= slot << (2 * pos)
-            table[rowid[x], QUAD_COL_BODY + QB_PERM + ob] = perm
+            table[rowid[x], QUAD_COL_CONT + ob] = cont * 256 + perm
             for pos, oi in enumerate(order):
                 c = kids[oi]
                 nxt = (rowid[kids[order[pos + 1]]]

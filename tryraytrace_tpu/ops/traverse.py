@@ -33,7 +33,6 @@ from tryraytrace_tpu.accel.bvh import (
     PAIR_COL_CONT,
     QB_ENT,
     QB_NSLOTS,
-    QB_PERM,
     QUAD_COL_BODY,
     QUAD_COL_CONT,
 )
@@ -381,14 +380,15 @@ def _quad_decode(row, octant, r_o, inv_d, t_min, t_max):
     (push, target, succ) triples in LIFO order (nearest missed sibling
     last, so after pushing in sequence it sits at register slot 0).
     All elementwise selects riding the row gather."""
-    cont = jnp.zeros(row.shape[0], jnp.float32)
-    perm = jnp.zeros(row.shape[0], jnp.float32)
+    # One packed column per octant (cont*256 + perm, bvh.py layout):
+    # a single 8-way mux replaces separate cont and perm muxes.
+    cp = jnp.zeros(row.shape[0], jnp.float32)
     for o in range(8):
-        oo = (octant == o).astype(jnp.float32)
-        cont = cont + oo * row[:, QUAD_COL_CONT + o]
-        perm = perm + oo * row[:, QUAD_COL_BODY + QB_PERM + o]
-    cont = cont.astype(jnp.int32)
-    perm = jnp.clip(perm, 0, 255).astype(jnp.int32)
+        cp = cp + (octant == o).astype(jnp.float32) * row[
+            :, QUAD_COL_CONT + o]
+    cpi = cp.astype(jnp.int32)
+    cont = cpi >> 8
+    perm = cpi & 255
     b = QUAD_COL_BODY
     hits_c = [aabb_hit(row[:, b + 6 * i:b + 6 * i + 6], r_o, inv_d,
                        t_min, t_max) for i in range(4)]
