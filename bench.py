@@ -44,6 +44,7 @@ def main() -> int:
     ap.add_argument("--bvh", default=None, help="sah | median")
     ap.add_argument("--traversal", default=None,
                     help="threaded | fatnode | pair | quad")
+    ap.add_argument("--leaf-isect", default=None, help="mt | bw")
     ap.add_argument("--max-wave", type=int, default=None)
     ap.add_argument("--dual-walk", action=argparse.BooleanOptionalAction,
                     default=None, help="--dual-walk / --no-dual-walk "
@@ -92,6 +93,8 @@ def main() -> int:
         cfg = cfg.replace(bvh_method=args.bvh)
     if args.traversal:
         cfg = cfg.replace(traversal=args.traversal)
+    if args.leaf_isect:
+        cfg = cfg.replace(leaf_isect=args.leaf_isect)
     if args.max_wave is not None:
         cfg = cfg.replace(max_wave_lanes=args.max_wave)
     if args.dual_walk is not None:
@@ -109,7 +112,8 @@ def main() -> int:
     scene, textures, bvh = upload_scene(arrays, leaf_size=cfg.bvh_leaf_size,
                                         method=cfg.bvh_method,
                                         traversal=cfg.traversal,
-                                        c_isect=args.c_isect)
+                                        c_isect=args.c_isect,
+                                        leaf_fmt=cfg.leaf_isect)
     if cfg.shade_every < 1:
         from tryraytrace_tpu.config import inline_resolved
         from tryraytrace_tpu.engine.device_scene import auto_shade_every

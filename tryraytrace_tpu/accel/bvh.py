@@ -761,15 +761,35 @@ def thread_octant(bvh: LinearBVH, octant: int) -> tuple[np.ndarray, np.ndarray]:
 NUM_OCTANTS = 8
 
 
-def traversal_row_width(leaf_size: int) -> int:
-    """bounds(6) + K inline triangles (9K) + prim_start + prim_count +
-    next_hit[8] + next_miss[8] = 9K + 24 floats per row."""
-    return 9 * leaf_size + 24
+def leaf_slot_rows(v0, v1, v2, leaf_fmt: str = "mt"):
+    """Per-triangle leaf slot payload for the fused tables: (v0, e1,
+    e2) for "mt" (stride 9; edges precomputed at pack time,
+    bit-identical to in-step subtraction) or the Baldwin-Weber
+    (n, v0, bu, bv) transform for "bw" (stride 12,
+    ops/intersect.baldwin_rows -- ~30% fewer VPU ops per slot in the
+    step program).  Both formats self-mask on all-zero pad slots."""
+    from tryraytrace_tpu.ops.intersect import baldwin_rows
+
+    if leaf_fmt == "bw":
+        return baldwin_rows(v0, v1, v2)
+    if leaf_fmt != "mt":
+        raise ValueError(f"unknown leaf_fmt {leaf_fmt!r}")
+    return np.concatenate([v0, v1 - v0, v2 - v0], axis=-1)
+
+
+LEAF_STRIDE = {"mt": 9, "bw": 12}
+
+
+def traversal_row_width(leaf_size: int, leaf_fmt: str = "mt") -> int:
+    """bounds(6) + K inline triangle slots (stride*K) + prim_start +
+    prim_count + next_hit[8] + next_miss[8] = stride*K + 24 floats."""
+    return LEAF_STRIDE[leaf_fmt] * leaf_size + 24
 
 
 def pack_traversal_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
                          v2: np.ndarray,
-                         leaf_size: int | None = None) -> np.ndarray:
+                         leaf_size: int | None = None,
+                         leaf_fmt: str = "mt") -> np.ndarray:
     """Fused traversal rows: float32[M, 9K + 24].
 
     One HBM row fetch per node visit feeds everything a traversal
@@ -786,7 +806,8 @@ def pack_traversal_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
     m = bvh.num_nodes
     k = int(leaf_size if leaf_size is not None
             else max(1, bvh.leaf_count.max() if m else 1))
-    w = traversal_row_width(k)
+    st = LEAF_STRIDE[leaf_fmt]
+    w = traversal_row_width(k, leaf_fmt)
     if m == 0:
         return np.zeros((0, w), np.float32)
     if m and bvh.leaf_count.max() > k:
@@ -794,13 +815,13 @@ def pack_traversal_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
     table = np.zeros((m, w), np.float32)
     table[:, 0:6] = bvh.bounds
 
-    tri_cat = np.concatenate([v0, v1, v2], axis=-1)  # [T, 9]
+    tri_cat = leaf_slot_rows(v0, v1, v2, leaf_fmt)  # [T, stride]
     leaf_nodes = np.nonzero(bvh.leaf_count > 0)[0]
     for node in leaf_nodes:
         start = int(bvh.leaf_prim[node])
         cnt = int(bvh.leaf_count[node])
-        table[node, 6:6 + 9 * cnt] = tri_cat[start:start + cnt].reshape(-1)
-    col = 6 + 9 * k
+        table[node, 6:6 + st * cnt] = tri_cat[start:start + cnt].reshape(-1)
+    col = 6 + st * k
     table[:, col] = bvh.leaf_prim.astype(np.float32)       # prim_start (-1 internal)
     table[:, col + 1] = bvh.leaf_count.astype(np.float32)  # prim_count
     for o in range(NUM_OCTANTS):
@@ -828,17 +849,19 @@ def pack_traversal_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
 FATNODE_STACK_DEPTH = 32  # mirrors the reference's stack (renderer.cu:387)
 
 
-def fatnode_row_width(leaf_size: int) -> int:
-    return 2 + max(14, 9 * leaf_size)
+def fatnode_row_width(leaf_size: int, leaf_fmt: str = "mt") -> int:
+    return 2 + max(14, LEAF_STRIDE[leaf_fmt] * leaf_size)
 
 
 def pack_fatnode_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
                        v2: np.ndarray,
-                       leaf_size: int | None = None) -> np.ndarray:
+                       leaf_size: int | None = None,
+                       leaf_fmt: str = "mt") -> np.ndarray:
     m = bvh.num_nodes
     k = int(leaf_size if leaf_size is not None
             else max(1, bvh.leaf_count.max() if m else 1))
-    w = fatnode_row_width(k)
+    st = LEAF_STRIDE[leaf_fmt]
+    w = fatnode_row_width(k, leaf_fmt)
     if m == 0:
         return np.zeros((0, w), np.float32)
     if bvh.max_depth() > FATNODE_STACK_DEPTH:
@@ -854,11 +877,11 @@ def pack_fatnode_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
     table[internal, 14] = bvh.left[internal].astype(np.float32)
     table[internal, 15] = bvh.right[internal].astype(np.float32)
 
-    tri_cat = np.concatenate([v0, v1, v2], axis=-1)
+    tri_cat = leaf_slot_rows(v0, v1, v2, leaf_fmt)
     for node in np.nonzero(bvh.leaf_count > 0)[0]:
         start = int(bvh.leaf_prim[node])
         cnt = int(bvh.leaf_count[node])
-        table[node, 2:2 + 9 * cnt] = tri_cat[start:start + cnt].reshape(-1)
+        table[node, 2:2 + st * cnt] = tri_cat[start:start + cnt].reshape(-1)
     return table
 
 
@@ -895,17 +918,19 @@ PAIR_COL_CONT = 2    # 8 per-octant continuation links
 PAIR_COL_BODY = 10   # boxes+children (internal) / triangles (leaf)
 
 
-def pair_row_width(leaf_size: int) -> int:
-    return PAIR_COL_BODY + max(15, 9 * leaf_size)
+def pair_row_width(leaf_size: int, leaf_fmt: str = "mt") -> int:
+    return PAIR_COL_BODY + max(15, LEAF_STRIDE[leaf_fmt] * leaf_size)
 
 
 def pack_pair_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
                     v2: np.ndarray,
-                    leaf_size: int | None = None) -> np.ndarray:
+                    leaf_size: int | None = None,
+                    leaf_fmt: str = "mt") -> np.ndarray:
     m = bvh.num_nodes
     k = int(leaf_size if leaf_size is not None
             else max(1, bvh.leaf_count.max() if m else 1))
-    w = pair_row_width(k)
+    st = LEAF_STRIDE[leaf_fmt]
+    w = pair_row_width(k, leaf_fmt)
     if m == 0:
         return np.zeros((0, w), np.float32)
     if bvh.leaf_count.max() > k:
@@ -926,11 +951,11 @@ def pack_pair_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
     table[internal, PAIR_COL_BODY + 13] = bvh.right[internal].astype(np.float32)
     table[internal, PAIR_COL_BODY + 14] = bvh.axis[internal].astype(np.float32)
 
-    tri_cat = np.concatenate([v0, v1, v2], axis=-1)
+    tri_cat = leaf_slot_rows(v0, v1, v2, leaf_fmt)
     for node in np.nonzero(bvh.leaf_count > 0)[0]:
         start = int(bvh.leaf_prim[node])
         cnt = int(bvh.leaf_count[node])
-        table[node, PAIR_COL_BODY:PAIR_COL_BODY + 9 * cnt] = (
+        table[node, PAIR_COL_BODY:PAIR_COL_BODY + st * cnt] = (
             tri_cat[start:start + cnt].reshape(-1))
     return table
 
@@ -980,8 +1005,9 @@ QB_NSLOTS = 28
 QUAD_BODY_INT = 29
 
 
-def quad_row_width(leaf_size: int) -> int:
-    return QUAD_COL_BODY + max(QUAD_BODY_INT, 9 * leaf_size)
+def quad_row_width(leaf_size: int, leaf_fmt: str = "mt") -> int:
+    return QUAD_COL_BODY + max(QUAD_BODY_INT,
+                               LEAF_STRIDE[leaf_fmt] * leaf_size)
 
 
 def collapse_bvh(bvh: LinearBVH, width: int = QUAD_WIDTH) -> dict:
@@ -1025,11 +1051,13 @@ def collapse_bvh(bvh: LinearBVH, width: int = QUAD_WIDTH) -> dict:
 
 def pack_quad_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
                     v2: np.ndarray,
-                    leaf_size: int | None = None) -> np.ndarray:
+                    leaf_size: int | None = None,
+                    leaf_fmt: str = "mt") -> np.ndarray:
     m = bvh.num_nodes
     k = int(leaf_size if leaf_size is not None
             else max(1, bvh.leaf_count.max() if m else 1))
-    w = quad_row_width(k)
+    st = LEAF_STRIDE[leaf_fmt]
+    w = quad_row_width(k, leaf_fmt)
     if m == 0:
         return np.zeros((0, w), np.float32)
     if bvh.leaf_count.max() > k:
@@ -1097,11 +1125,11 @@ def pack_quad_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
                        if pos + 1 < len(order) else cont)
                 stack.append((int(c), int(nxt)))
 
-    tri_cat = np.concatenate([v0, v1, v2], axis=-1)
+    tri_cat = leaf_slot_rows(v0, v1, v2, leaf_fmt)
     for x in np.nonzero(bvh.leaf_count > 0)[0]:
         start = int(bvh.leaf_prim[x])
         cnt = int(bvh.leaf_count[x])
-        table[rowid[x], QUAD_COL_BODY:QUAD_COL_BODY + 9 * cnt] = (
+        table[rowid[x], QUAD_COL_BODY:QUAD_COL_BODY + st * cnt] = (
             tri_cat[start:start + cnt].reshape(-1))
     return table
 

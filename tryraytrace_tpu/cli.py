@@ -32,6 +32,8 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--focus", type=float, default=240.0)
     p.add_argument("--engine", default=None,
                    help="persistent | bounce (default: config)")
+    p.add_argument("--leaf-isect", default=None,
+                   help="leaf intersection format: mt | bw")
     p.add_argument("--traversal", default=None,
                    help="threaded | fatnode | pair | quad (default: config)")
     p.add_argument("--scheduler", default=None,
@@ -213,6 +215,8 @@ def _cfg_from_args(args) -> RenderConfig:
         cfg = cfg.replace(engine=args.engine)
     if getattr(args, "traversal", None):
         cfg = cfg.replace(traversal=args.traversal)
+    if getattr(args, "leaf_isect", None):
+        cfg = cfg.replace(leaf_isect=args.leaf_isect)
     if getattr(args, "scheduler", None):
         cfg = cfg.replace(scheduler=args.scheduler)
     if getattr(args, "smooth", False):
@@ -260,6 +264,8 @@ def cmd_bench(args) -> int:
             cfg_kw["bvh_leaf_size"] = args.leaf_size
         if getattr(args, "traversal", None):
             cfg_kw["traversal"] = args.traversal
+        if getattr(args, "leaf_isect", None):
+            cfg_kw["leaf_isect"] = args.leaf_isect
         if getattr(args, "scheduler", None):
             cfg_kw["scheduler"] = args.scheduler
         cfg_kw = cfg_kw or None

@@ -158,6 +158,16 @@ class RenderConfig:
     # 20.25 vs pair 18.53 vs threaded 15.92 Mrays/s; cow +10%, teddy
     # +5%, flythrough +11% over pair) -- see BASELINE.md.
     traversal: str = "quad"
+    # Leaf slot format of the packed traversal tables: "mt" stores
+    # (v0, e1, e2) and runs Moller-Trumbore per slot (reference math,
+    # renderer.cu:235-268); "bw" stores the per-triangle Baldwin-Weber
+    # transform (n, v0, bu, bv) whose intersection is ~30% fewer VPU
+    # ops per slot (ops/intersect.baldwin_intersect) with the same
+    # decision structure (|n.d| = |a| parallel guard, t > 1e-5, same
+    # barycentric bounds).  Hit decisions agree with MT except for
+    # float ULP boundary flips; the CPU oracle mirrors whichever
+    # format is selected, so golden MSEs are unchanged.
+    leaf_isect: str = "mt"
     # Traversal steps executed per while-loop iteration in the
     # persistent engine.  Measured on v5e, a loop iteration containing
     # gathers pays a ~0.27 ms fixed cost once regardless of how many

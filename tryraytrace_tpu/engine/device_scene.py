@@ -66,6 +66,13 @@ class DeviceScene:
     has_uvs: bool = dataclasses.field(metadata=dict(static=True),
                                       default=False)
     leaf_size: int = dataclasses.field(metadata=dict(static=True), default=8)
+    # Static: leaf slot format of every packed traversal table -- "mt"
+    # (v0, e1, e2) or "bw" (Baldwin-Weber (n, v0, bu, bv) transform,
+    # ~30% fewer VPU ops per slot in the step program).  The engines
+    # decode with the matching ops/intersect kernel; the oracle mirrors
+    # the same precomputed rows for bit-comparability.
+    leaf_fmt: str = dataclasses.field(metadata=dict(static=True),
+                                      default="mt")
     # Tree depth (static): sizes the fat-node register stack exactly --
     # stack traffic scales with depth, so tighter is faster.
     tree_depth: int = dataclasses.field(metadata=dict(static=True),
@@ -81,7 +88,8 @@ class DeviceScene:
 
 
 def _build_auto_leaf(arrays: SceneArrays, method: str,
-                     traversal: str = "threaded", c_isect: float = 0.4):
+                     traversal: str = "threaded", c_isect: float = 0.4,
+                     leaf_fmt: str = "mt"):
     """Auto leaf size: the largest fat leaf whose fused traversal
     table stays under the measured ~3 MB gather knee (tables above it
     pay ~0.06 ms/MB per in-loop row fetch, docs/PERFORMANCE.md).
@@ -106,7 +114,8 @@ def _build_auto_leaf(arrays: SceneArrays, method: str,
         bvh = build_bvh(arrays.tri_v0, arrays.tri_v1, arrays.tri_v2,
                         leaf_size=cand, method=method, c_isect=c_isect)
         width = width_of(
-            int(max(1, bvh.leaf_count.max())) if bvh.num_nodes else 1)
+            int(max(1, bvh.leaf_count.max())) if bvh.num_nodes else 1,
+            leaf_fmt)
         rows = bvh.num_nodes
         if traversal == "quad" and rows:
             rows = (len(collapse_bvh(bvh))
@@ -149,7 +158,7 @@ def auto_shade_every(bvh: LinearBVH, arrays: SceneArrays,
 def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
                  device_put=True, leaf_size: int = 8,
                  method: str = "sah", traversal: str = "quad",
-                 c_isect: float = 0.4
+                 c_isect: float = 0.4, leaf_fmt: str = "mt"
                  ) -> tuple[DeviceScene, tuple, LinearBVH]:
     """Build the BVH (reordering primitives, main.cpp:82-86 contract),
     then assemble the device pytree.
@@ -160,7 +169,7 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
     if bvh is None:
         if leaf_size <= 0:
             bvh, leaf_size = _build_auto_leaf(arrays, method, traversal,
-                                              c_isect)
+                                              c_isect, leaf_fmt)
         else:
             bvh = build_bvh(arrays.tri_v0, arrays.tri_v1, arrays.tri_v2,
                             leaf_size=leaf_size, method=method,
@@ -199,27 +208,28 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
         bvh_miss=put(bvh.miss),
         node_table=put(pack_traversal_table(
             bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
-            leaf_size=leaf_size)),
+            leaf_size=leaf_size, leaf_fmt=leaf_fmt)),
         # The fat-node table is only packed when that traversal is
         # selected: it is unused otherwise, and its 32-deep register
         # stack bound rejects pathologically deep SAH trees that the
         # threaded walk handles fine.
         fatnode_table=put(pack_fatnode_table(
             bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
-            leaf_size=leaf_size) if traversal == "fatnode" else
-            np.zeros((0, 16), np.float32)),
+            leaf_size=leaf_size, leaf_fmt=leaf_fmt)
+            if traversal == "fatnode" else np.zeros((0, 16), np.float32)),
         # Packed only when selected, like the fat-node table.
         pair_table=put(pack_pair_table(
             bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
-            leaf_size=leaf_size) if traversal == "pair" else
-            np.zeros((0, 25), np.float32)),
+            leaf_size=leaf_size, leaf_fmt=leaf_fmt)
+            if traversal == "pair" else np.zeros((0, 25), np.float32)),
         quad_table=put(pack_quad_table(
             bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
-            leaf_size=leaf_size) if traversal == "quad" else
-            np.zeros((0, 47), np.float32)),
+            leaf_size=leaf_size, leaf_fmt=leaf_fmt)
+            if traversal == "quad" else np.zeros((0, 47), np.float32)),
         trimat=put(pack_trimat_table(ordered)),
         num_lights=n_lights,
         leaf_size=leaf_size,
+        leaf_fmt=leaf_fmt,
         tree_depth=max(1, bvh.max_depth()),
     )
     textures = tuple(put(t) for t in ordered.textures)
@@ -241,6 +251,7 @@ def refit_scene(dev: DeviceScene, bvh: LinearBVH, arrays: SceneArrays,
     new_bvh = refit_bvh(bvh, ordered.tri_v0, ordered.tri_v1,
                         ordered.tri_v2)
     leaf_size = dev.leaf_size
+    leaf_fmt = dev.leaf_fmt
     put = jax.device_put if device_put else (lambda x: x)
     new = dataclasses.replace(
         dev,
@@ -257,18 +268,21 @@ def refit_scene(dev: DeviceScene, bvh: LinearBVH, arrays: SceneArrays,
         bvh_bounds=put(new_bvh.bounds),
         node_table=put(pack_traversal_table(
             new_bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
-            leaf_size=leaf_size)),
+            leaf_size=leaf_size, leaf_fmt=leaf_fmt)),
         fatnode_table=put(pack_fatnode_table(
             new_bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
-            leaf_size=leaf_size)) if int(dev.fatnode_table.shape[0])
+            leaf_size=leaf_size, leaf_fmt=leaf_fmt))
+        if int(dev.fatnode_table.shape[0])
         else dev.fatnode_table,
         pair_table=put(pack_pair_table(
             new_bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
-            leaf_size=leaf_size)) if int(dev.pair_table.shape[0])
+            leaf_size=leaf_size, leaf_fmt=leaf_fmt))
+        if int(dev.pair_table.shape[0])
         else dev.pair_table,
         quad_table=put(pack_quad_table(
             new_bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
-            leaf_size=leaf_size)) if int(dev.quad_table.shape[0])
+            leaf_size=leaf_size, leaf_fmt=leaf_fmt))
+        if int(dev.quad_table.shape[0])
         else dev.quad_table,
         trimat=put(pack_trimat_table(ordered)),
     )

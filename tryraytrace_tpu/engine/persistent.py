@@ -60,6 +60,7 @@ from tryraytrace_tpu.ops.texture import (
     tile_bilinear,
     tile_coords,
 )
+from tryraytrace_tpu.ops.intersect import LEAF_STRIDE
 from tryraytrace_tpu.ops.traverse import (
     FATNODE_DEPTH,
     MISS_T,
@@ -143,6 +144,7 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
         pixel_idx = jnp.arange(n, dtype=jnp.int32)
     frame_seed = jnp.asarray(frame_seed).astype(jnp.uint32)
     k = scene.leaf_size
+    fmt = scene.leaf_fmt
     if cfg.traversal not in ("threaded", "fatnode", "pair", "quad"):
         raise ValueError(f"unknown traversal {cfg.traversal!r}")
     fat = cfg.traversal == "fatnode"
@@ -152,7 +154,7 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
              else scene.pair_table if pair
              else scene.quad_table if quad else scene.node_table)
     sentinel = table.shape[0]
-    col_ps = 6 + 9 * k
+    col_ps = 6 + LEAF_STRIDE[fmt] * k
     # 0 = auto, resolved per scene by Renderer/ShardedRenderer/bench
     # (engine/device_scene.auto_shade_every); a direct render_frame
     # call with an unresolved 0 gets the global sweep optimum (3 on
@@ -414,7 +416,7 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
                 # headline -- 4x the block cost for marginal extra
                 # wait reduction on top of dual-walk).
                 s = step_fn(s, table, sentinel, k, col_ps, inline_ctx,
-                            u == step_unroll - 1)
+                            u == step_unroll - 1, fmt)
 
             if inline_ctx is not None and (not textures
                                            or inline_ctx["tex"]
@@ -566,7 +568,7 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
 
 
 def _step(s, table, sentinel, k: int, col_ps: int, inline=None,
-          service: bool = True):
+          service: bool = True, fmt: str = "mt"):
     """One traversal step for TRAVERSE and SHADOW lanes -- a single
     shared node-row gather serves both walks.
 
@@ -613,14 +615,12 @@ def _step(s, table, sentinel, k: int, col_ps: int, inline=None,
     is_leaf = prim_start >= 0
 
     # Inline leaf triangles via the shared scan: closest-hit lanes use
-    # the (0, d_min) window, shadow lanes the (1e-3, smax-1e-3) window.
-    def window(t):
-        return jnp.where(live_s,
-                         (t > 1e-3) & (t < s["smax"] - 1e-3),
-                         t < s["d_min"])
-
+    # the (0, d_min) window, shadow lanes the (1e-3, smax-1e-3) window
+    # -- hoisted to per-lane (tlo, thi) bounds so the K-unroll pays two
+    # compares per slot instead of a live_s select (tlo == t_min).
+    thi = jnp.where(live_s, s["smax"] - 1e-3, s["d_min"])
     best_t, best_id = _leaf_intersect(
-        row, k, ro, rd, prim_start, prim_count, window)
+        row, k, ro, rd, prim_start, prim_count, t_min, thi, fmt=fmt)
 
     leaf_hit = hit & is_leaf
     found = leaf_hit & (best_id >= 0)
@@ -629,7 +629,7 @@ def _step(s, table, sentinel, k: int, col_ps: int, inline=None,
     occluded = found & live_s
 
     octant = ray_octant(rd)
-    nh, nm = _decode_links(row, octant, k)
+    nh, nm = _decode_links(row, octant, k, fmt=fmt)
     nxt = jnp.where(hit & ~is_leaf, nh, nm)
     cur = jnp.where(stepping, nxt, s["cur"])
 
@@ -743,7 +743,7 @@ def _service_shade(out, s, row, live_g, live_x, inline, tex_ctx):
 
 
 def _step_pair(s, table, sentinel, k: int, col_ps: int, inline=None,
-               service: bool = True):
+               service: bool = True, fmt: str = "mt"):
     """One pair-row traversal step (accel/bvh.py pack_pair_table) for
     TRAVERSE and SHADOW lanes, sharing the single row gather; with
     ``inline`` the same slot serves SHADEG/TEXG exactly like _step.
@@ -783,14 +783,10 @@ def _step_pair(s, table, sentinel, k: int, col_ps: int, inline=None,
     prim_count = row[:, 1].astype(jnp.int32)
     is_leaf = prim_start >= 0
 
-    def window(t):
-        return jnp.where(live_s,
-                         (t > 1e-3) & (t < s["smax"] - 1e-3),
-                         t < s["d_min"])
-
+    thi = jnp.where(live_s, s["smax"] - 1e-3, s["d_min"])
     best_t, best_id = _fat_leaf_intersect(
-        row, k, ro, rd, prim_start, prim_count, window,
-        base0=PAIR_COL_BODY)
+        row, k, ro, rd, prim_start, prim_count, t_min, thi,
+        base0=PAIR_COL_BODY, fmt=fmt)
 
     found = stepping & is_leaf & (best_id >= 0)
     d_min = jnp.where(found & live_t, best_t, s["d_min"])
@@ -842,7 +838,7 @@ def _step_pair(s, table, sentinel, k: int, col_ps: int, inline=None,
 
 
 def _step_quad(s, table, sentinel, k: int, col_ps: int, inline=None,
-               service: bool = True):
+               service: bool = True, fmt: str = "mt"):
     """One quad-row traversal step (accel/bvh.py pack_quad_table) for
     TRAVERSE and SHADOW lanes, sharing the single row gather; with
     ``inline`` the same slot serves SHADEG/TEXG exactly like _step.
@@ -882,14 +878,10 @@ def _step_quad(s, table, sentinel, k: int, col_ps: int, inline=None,
     prim_count = row[:, 1].astype(jnp.int32)
     is_leaf = prim_start >= 0
 
-    def window(t):
-        return jnp.where(live_s,
-                         (t > 1e-3) & (t < s["smax"] - 1e-3),
-                         t < s["d_min"])
-
+    thi = jnp.where(live_s, s["smax"] - 1e-3, s["d_min"])
     best_t, best_id = _fat_leaf_intersect(
-        row, k, ro, rd, prim_start, prim_count, window,
-        base0=QUAD_COL_BODY)
+        row, k, ro, rd, prim_start, prim_count, t_min, thi,
+        base0=QUAD_COL_BODY, fmt=fmt)
 
     found = stepping & is_leaf & (best_id >= 0)
     d_min = jnp.where(found & live_t, best_t, s["d_min"])
@@ -934,7 +926,7 @@ def _step_quad(s, table, sentinel, k: int, col_ps: int, inline=None,
 
 
 def _step_fat(s, table, sentinel, k: int, col_ps: int, inline=None,
-              service: bool = True):
+              service: bool = True, fmt: str = "mt"):
     """One fat-node traversal step for TRAVERSE and SHADOW lanes,
     sharing the single parent-row gather (see ops/traverse.py
     fatnode_step).  A lane with cur == 0 is starting a fresh walk, so
@@ -953,14 +945,10 @@ def _step_fat(s, table, sentinel, k: int, col_ps: int, inline=None,
     t_min = jnp.where(live_s, jnp.float32(1e-3), jnp.float32(0.0))
     t_max = jnp.where(live_s, s["smax"], s["d_min"])
 
-    def window(t):
-        return jnp.where(live_s,
-                         (t > 1e-3) & (t < s["smax"] - 1e-3),
-                         t < s["d_min"])
-
+    thi = jnp.where(live_s, s["smax"] - 1e-3, s["d_min"])
     cur, stack, lt, lid = fatnode_step(
         table, k, ro, rd, inv, s["cur"], stack,
-        t_min, t_max, window, stepping)
+        t_min, t_max, t_min, thi, stepping, fmt=fmt)
 
     take = live_t & (lid >= 0)
     d_min = jnp.where(take, lt, s["d_min"])

@@ -104,7 +104,7 @@ def _bounce(scene, textures, seed, pixel_idx, depth,
     unit on TPU, so fewer/wider beats many/narrow.
     """
     t, hit_id = closest_hit_packed(scene.node_table, scene.leaf_size,
-                                   o, d, alive)
+                                   o, d, alive, fmt=scene.leaf_fmt)
     alive = alive & (hit_id >= 0)  # miss -> path ends (renderer.cu:427)
     sid = jnp.maximum(hit_id, 0)
 
@@ -268,6 +268,7 @@ def _nee_contribution(scene, seed, pixel_idx, base, x_hit, nl, albedo, tp,
     occluded = any_hit_packed(
         scene.node_table, scene.leaf_size, shadow_o, l_dir,
         dist - np.float32(cfg.shadow_max_dist_eps), geo_ok,
+        fmt=scene.leaf_fmt,
     )
     lit = geo_ok & ~occluded
 

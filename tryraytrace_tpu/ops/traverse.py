@@ -38,7 +38,20 @@ from tryraytrace_tpu.accel.bvh import (
 )
 from tryraytrace_tpu.core import vec
 from tryraytrace_tpu.ops.aabb import aabb_hit, aabb_slab
-from tryraytrace_tpu.ops.intersect import moller_trumbore
+from tryraytrace_tpu.ops.intersect import (LEAF_STRIDE, baldwin_intersect,
+                                            moller_trumbore,
+                                            moller_trumbore_pre)
+
+
+def _slot_isect(row, base: int, r_o, r_d, fmt: str):
+    """One leaf slot's intersection t from its packed columns: "mt"
+    reads (v0, e1, e2) at stride 9, "bw" the Baldwin-Weber
+    (n, v0, bu, bv) transform at stride 12 (ops/intersect)."""
+    if fmt == "bw":
+        return baldwin_intersect(row[:, base:base + 12], r_o, r_d)
+    return moller_trumbore_pre(row[:, base:base + 3],
+                               row[:, base + 3:base + 6],
+                               row[:, base + 6:base + 9], r_o, r_d)
 
 # np (not jnp): a module-level jnp scalar would initialize the JAX
 # backend at import time, breaking pre-backend config such as
@@ -52,11 +65,11 @@ def ray_octant(r_d, xp=jnp):
             | ((r_d[..., 2] < 0).astype(xp.int32) << 2))
 
 
-def _decode_links(row, octant, k: int, xp=jnp):
+def _decode_links(row, octant, k: int, xp=jnp, fmt: str = "mt"):
     """Per-ray (next_hit, next_miss) from the row's 16 octant-link
     columns, selected arithmetically (one-hot multiply-add -- free
     fused VPU work, avoiding a second gather)."""
-    col = 6 + 9 * k + 2
+    col = 6 + LEAF_STRIDE[fmt] * k + 2
     nh = jnp.zeros(row.shape[0], jnp.float32)
     nm = jnp.zeros(row.shape[0], jnp.float32)
     for o in range(8):
@@ -67,19 +80,26 @@ def _decode_links(row, octant, k: int, xp=jnp):
 
 
 def _leaf_intersect(row, k: int, r_o, r_d, prim_start, prim_count,
-                    window):
+                    tlo, thi, fmt: str = "mt"):
     """MT-test the <=K inline leaf triangles of each row, returning the
-    closest (t, prim_id) inside ``window(t) -> bool per lane``.  The K
-    tests are unrolled elementwise math over the gathered row --
-    measured free next to the row fetch itself."""
+    closest (t, prim_id) inside the per-lane open window (tlo, thi).
+    The K tests are unrolled elementwise math over the gathered row.
+    Slots store (v0, e1, e2) -- edges precomputed at pack time,
+    bit-identical to in-step subtraction -- and pad slots are all-zero
+    (degenerate -> guaranteed miss), so no per-slot ``j < prim_count``
+    mask is needed: callers mask the result by ``is_leaf`` anyway.
+    The window is two per-lane scalars (hoisted out of the K-unroll)
+    rather than a callable: closest-hit passes (0, d_min), shadow
+    (1e-3, smax - 1e-3) -- decisions identical to the old per-slot
+    ``(t > 0) & window(t)`` forms."""
+    del prim_count  # pad slots self-mask (zero edges -> parallel -> t=0)
     n = r_o.shape[0]
     best_t = jnp.full((n,), MISS_T)
     best_id = jnp.full((n,), -1, jnp.int32)
+    st = LEAF_STRIDE[fmt]
     for j in range(k):
-        base = 6 + 9 * j
-        t = moller_trumbore(row[:, base:base + 3], row[:, base + 3:base + 6],
-                            row[:, base + 6:base + 9], r_o, r_d)
-        ok = (j < prim_count) & (t > 0.0) & window(t) & (t < best_t)
+        t = _slot_isect(row, 6 + st * j, r_o, r_d, fmt)
+        ok = (t > tlo) & (t < thi) & (t < best_t)
         best_t = jnp.where(ok, t, best_t)
         best_id = jnp.where(ok, prim_start + j, best_id)
     return best_t, best_id
@@ -97,24 +117,27 @@ FATNODE_DEPTH = 32
 
 
 def _fat_leaf_intersect(row, k: int, r_o, r_d, prim_start, prim_count,
-                        window, base0: int = 2):
-    """Closest (t, prim_id) among the <=K inline triangles at columns
-    base0.. of each gathered fat-node row, inside ``window``."""
+                        tlo, thi, base0: int = 2, fmt: str = "mt"):
+    """Closest (t, prim_id) among the <=K inline (v0, e1, e2) triangle
+    slots at columns base0.. of each gathered row, inside the per-lane
+    open window (tlo, thi) (see ``_leaf_intersect``).  Pad slots are
+    all-zero (degenerate -> miss), so no per-slot count mask is
+    needed; callers mask the result by ``is_leaf``."""
+    del prim_count  # pad slots self-mask (zero edges -> parallel -> t=0)
     n = r_o.shape[0]
     best_t = jnp.full((n,), MISS_T)
     best_id = jnp.full((n,), -1, jnp.int32)
+    st = LEAF_STRIDE[fmt]
     for j in range(k):
-        base = base0 + 9 * j
-        t = moller_trumbore(row[:, base:base + 3], row[:, base + 3:base + 6],
-                            row[:, base + 6:base + 9], r_o, r_d)
-        ok = (j < prim_count) & (t > 0.0) & window(t) & (t < best_t)
+        t = _slot_isect(row, base0 + st * j, r_o, r_d, fmt)
+        ok = (t > tlo) & (t < thi) & (t < best_t)
         best_t = jnp.where(ok, t, best_t)
         best_id = jnp.where(ok, prim_start + j, best_id)
     return best_t, best_id
 
 
 def fatnode_step(table, k: int, r_o, r_d, inv_d, cur, stack,
-                 t_min, t_max, window, live):
+                 t_min, t_max, tlo, thi, live, fmt: str = "mt"):
     """One fat-node traversal step shared by closest/any-hit walks.
 
     Returns (cur', stack', leaf_t, leaf_id) where leaf_t/leaf_id are
@@ -128,7 +151,7 @@ def fatnode_step(table, k: int, r_o, r_d, inv_d, cur, stack,
     is_leaf = prim_start >= 0
 
     lt, lid = _fat_leaf_intersect(row, k, r_o, r_d, prim_start, prim_count,
-                                  window)
+                                  tlo, thi, fmt=fmt)
     lid = jnp.where(live & is_leaf, lid, -1)
 
     lo_l, ok_l = aabb_slab(row[:, 2:8], r_o, inv_d, t_min, t_max)
@@ -163,7 +186,7 @@ def fatnode_step(table, k: int, r_o, r_d, inv_d, cur, stack,
     return cur, stack, lt, lid
 
 
-def closest_hit_fatnode(table, k: int, r_o, r_d, active):
+def closest_hit_fatnode(table, k: int, r_o, r_d, active, fmt: str = "mt"):
     """Closest-hit via fat-node traversal; same results as
     closest_hit / closest_hit_packed (order-independent)."""
     n = r_o.shape[0]
@@ -184,7 +207,8 @@ def closest_hit_fatnode(table, k: int, r_o, r_d, active):
         live = cur < sentinel
         cur, stack, lt, lid = fatnode_step(
             table, k, r_o, r_d, inv_d, cur, stack,
-            jnp.float32(0.0), d_min, lambda t: t < d_min, live)
+            jnp.float32(0.0), d_min, jnp.float32(0.0), d_min, live,
+            fmt=fmt)
         take = lid >= 0
         d_min = jnp.where(take, lt, d_min)
         hit_id = jnp.where(take, lid, hit_id)
@@ -194,7 +218,7 @@ def closest_hit_fatnode(table, k: int, r_o, r_d, active):
     return d_min, hit_id
 
 
-def any_hit_fatnode(table, k: int, r_o, r_d, max_dist, active):
+def any_hit_fatnode(table, k: int, r_o, r_d, max_dist, active, fmt: str = "mt"):
     """Shadow traversal via fat-node walk (trace_shadow parity:
     plain 1/d, constant (1e-3, max_dist) window, early exit)."""
     n = r_o.shape[0]
@@ -215,7 +239,7 @@ def any_hit_fatnode(table, k: int, r_o, r_d, max_dist, active):
         cur, stack, _, lid = fatnode_step(
             table, k, r_o, r_d, inv_d, cur, stack,
             jnp.float32(1e-3), max_dist,
-            lambda t: (t > 1e-3) & (t < max_dist - 1e-3), live)
+            jnp.float32(1e-3), max_dist - 1e-3, live, fmt=fmt)
         occ = occ | (lid >= 0)
         cur = jnp.where(occ, sentinel, cur)
         return cur, stack, occ
@@ -267,7 +291,7 @@ def _pair_decode(row, octant, r_o, inv_d, t_min, t_max):
 
 
 def pair_step(table, k: int, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
-              t_min, t_max, window, live):
+              t_min, t_max, tlo, thi, live, fmt: str = "mt"):
     """One pair-row step shared by the closest/any-hit walks and the
     persistent engine: gathers each live lane's current row, MT-tests
     leaf rows, 3-way-branches internal rows, and advances the one-slot
@@ -281,7 +305,7 @@ def pair_step(table, k: int, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
     is_leaf = prim_start >= 0
 
     lt, lid = _fat_leaf_intersect(row, k, r_o, r_d, prim_start, prim_count,
-                                  window, base0=PAIR_COL_BODY)
+                                  tlo, thi, base0=PAIR_COL_BODY, fmt=fmt)
     lid = jnp.where(live & is_leaf, lid, -1)
 
     cont, nxt_int, push, far = _pair_decode(row, octant, r_o, inv_d,
@@ -297,7 +321,7 @@ def pair_step(table, k: int, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
     return cur, reg_e, reg_s, lt, lid
 
 
-def closest_hit_pair(table, k: int, r_o, r_d, active):
+def closest_hit_pair(table, k: int, r_o, r_d, active, fmt: str = "mt"):
     """Closest-hit via the pair walk; same results as closest_hit /
     closest_hit_packed (closest-hit is order-independent)."""
     n = r_o.shape[0]
@@ -319,7 +343,8 @@ def closest_hit_pair(table, k: int, r_o, r_d, active):
         live = cur < sentinel
         cur, reg_e, reg_s, lt, lid = pair_step(
             table, k, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
-            jnp.float32(0.0), d_min, lambda t: t < d_min, live)
+            jnp.float32(0.0), d_min, jnp.float32(0.0), d_min, live,
+            fmt=fmt)
         take = lid >= 0
         d_min = jnp.where(take, lt, d_min)
         hit_id = jnp.where(take, lid, hit_id)
@@ -329,7 +354,7 @@ def closest_hit_pair(table, k: int, r_o, r_d, active):
     return d_min, hit_id
 
 
-def any_hit_pair(table, k: int, r_o, r_d, max_dist, active):
+def any_hit_pair(table, k: int, r_o, r_d, max_dist, active, fmt: str = "mt"):
     """Shadow traversal via the pair walk (trace_shadow parity: plain
     1/d, constant (1e-3, max_dist) window, early exit)."""
     n = r_o.shape[0]
@@ -351,7 +376,7 @@ def any_hit_pair(table, k: int, r_o, r_d, max_dist, active):
         cur, reg_e, reg_s, _, lid = pair_step(
             table, k, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
             jnp.float32(1e-3), max_dist,
-            lambda t: (t > 1e-3) & (t < max_dist - 1e-3), live)
+            jnp.float32(1e-3), max_dist - 1e-3, live, fmt=fmt)
         occ = occ | (lid >= 0)
         cur = jnp.where(occ, sentinel, cur)
         return cur, reg_e, reg_s, occ
@@ -447,7 +472,7 @@ def _regfile_apply(reg_e, reg_s, pushes, nxt, live, gate):
 
 
 def quad_step(table, k: int, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
-              t_min, t_max, window, live):
+              t_min, t_max, tlo, thi, live, fmt: str = "mt"):
     """One quad-row step shared by the closest/any-hit walks: gathers
     each live lane's current row, MT-tests leaf rows, first-hit-
     branches internal rows, and advances the 3-slot skip-register
@@ -460,8 +485,8 @@ def quad_step(table, k: int, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
     is_leaf = prim_start >= 0
 
     lt, lid = _fat_leaf_intersect(row, k, r_o, r_d, prim_start,
-                                  prim_count, window,
-                                  base0=QUAD_COL_BODY)
+                                  prim_count, tlo, thi,
+                                  base0=QUAD_COL_BODY, fmt=fmt)
     lid = jnp.where(live & is_leaf, lid, -1)
 
     cont, nxt_int, pushes = _quad_decode(row, octant, r_o, inv_d,
@@ -473,7 +498,7 @@ def quad_step(table, k: int, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
     return cur, reg_e, reg_s, lt, lid
 
 
-def closest_hit_quad(table, k: int, r_o, r_d, active):
+def closest_hit_quad(table, k: int, r_o, r_d, active, fmt: str = "mt"):
     """Closest-hit via the quad walk; same results as closest_hit
     (closest-hit is order-independent)."""
     n = r_o.shape[0]
@@ -495,7 +520,8 @@ def closest_hit_quad(table, k: int, r_o, r_d, active):
         live = cur < sentinel
         cur, reg_e, reg_s, lt, lid = quad_step(
             table, k, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
-            jnp.float32(0.0), d_min, lambda t: t < d_min, live)
+            jnp.float32(0.0), d_min, jnp.float32(0.0), d_min, live,
+            fmt=fmt)
         take = lid >= 0
         d_min = jnp.where(take, lt, d_min)
         hit_id = jnp.where(take, lid, hit_id)
@@ -505,7 +531,7 @@ def closest_hit_quad(table, k: int, r_o, r_d, active):
     return d_min, hit_id
 
 
-def any_hit_quad(table, k: int, r_o, r_d, max_dist, active):
+def any_hit_quad(table, k: int, r_o, r_d, max_dist, active, fmt: str = "mt"):
     """Shadow traversal via the quad walk (trace_shadow parity: plain
     1/d, constant (1e-3, max_dist) window, early exit)."""
     n = r_o.shape[0]
@@ -527,7 +553,7 @@ def any_hit_quad(table, k: int, r_o, r_d, max_dist, active):
         cur, reg_e, reg_s, _, lid = quad_step(
             table, k, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
             jnp.float32(1e-3), max_dist,
-            lambda t: (t > 1e-3) & (t < max_dist - 1e-3), live)
+            jnp.float32(1e-3), max_dist - 1e-3, live, fmt=fmt)
         occ = occ | (lid >= 0)
         cur = jnp.where(occ, sentinel, cur)
         return cur, reg_e, reg_s, occ
@@ -536,7 +562,7 @@ def any_hit_quad(table, k: int, r_o, r_d, max_dist, active):
     return occ
 
 
-def closest_hit_packed(table, k: int, r_o, r_d, active):
+def closest_hit_packed(table, k: int, r_o, r_d, active, fmt: str = "mt"):
     """Closest-hit over the fused fat-leaf table [M, 9K+24].
 
     Semantics identical to ``closest_hit`` (same pruning window, same
@@ -552,7 +578,7 @@ def closest_hit_packed(table, k: int, r_o, r_d, active):
 
     inv_d = vec.safe_inv(r_d, jnp)
     octant = ray_octant(r_d)
-    col_ps = 6 + 9 * k
+    col_ps = 6 + LEAF_STRIDE[fmt] * k
     cur0 = jnp.where(active, 0, sentinel).astype(jnp.int32)
     state = (cur0, jnp.full((n,), MISS_T), jnp.full((n,), -1, jnp.int32))
 
@@ -569,11 +595,11 @@ def closest_hit_packed(table, k: int, r_o, r_d, active):
         prim_count = row[:, col_ps + 1].astype(jnp.int32)
         is_leaf = prim_start >= 0
         lt, lid = _leaf_intersect(row, k, r_o, r_d, prim_start, prim_count,
-                                  lambda t: t < d_min)
+                                  jnp.float32(0.0), d_min, fmt=fmt)
         take = hit & is_leaf & (lid >= 0)
         d_min = jnp.where(take, lt, d_min)
         hit_id = jnp.where(take, lid, hit_id)
-        nh, nm = _decode_links(row, octant, k)
+        nh, nm = _decode_links(row, octant, k, fmt=fmt)
         nxt = jnp.where(hit & ~is_leaf, nh, nm)
         cur = jnp.where(live, nxt, sentinel)
         return cur, d_min, hit_id
@@ -582,7 +608,7 @@ def closest_hit_packed(table, k: int, r_o, r_d, active):
     return d_min, hit_id
 
 
-def any_hit_packed(table, k: int, r_o, r_d, max_dist, active):
+def any_hit_packed(table, k: int, r_o, r_d, max_dist, active, fmt: str = "mt"):
     """Shadow traversal over the fused table (trace_shadow parity:
     plain 1/d, constant (0.001, max_dist) window, early exit)."""
     n = r_o.shape[0]
@@ -592,7 +618,7 @@ def any_hit_packed(table, k: int, r_o, r_d, max_dist, active):
 
     inv_d = (1.0 / r_d).astype(jnp.float32)
     octant = ray_octant(r_d)
-    col_ps = 6 + 9 * k
+    col_ps = 6 + LEAF_STRIDE[fmt] * k
     cur0 = jnp.where(active, 0, sentinel).astype(jnp.int32)
     state = (cur0, jnp.zeros((n,), bool))
 
@@ -611,9 +637,9 @@ def any_hit_packed(table, k: int, r_o, r_d, max_dist, active):
         is_leaf = prim_start >= 0
         _, lid = _leaf_intersect(
             row, k, r_o, r_d, prim_start, prim_count,
-            lambda t: (t > 1e-3) & (t < max_dist - 1e-3))
+            jnp.float32(1e-3), max_dist - 1e-3, fmt=fmt)
         occluded = occluded | (hit & is_leaf & (lid >= 0))
-        nh, nm = _decode_links(row, octant, k)
+        nh, nm = _decode_links(row, octant, k, fmt=fmt)
         nxt = jnp.where(hit & ~is_leaf, nh, nm)
         cur = jnp.where(live & ~occluded, nxt, sentinel)
         return cur, occluded

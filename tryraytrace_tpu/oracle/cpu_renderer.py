@@ -19,6 +19,7 @@ import numpy as np
 
 from tryraytrace_tpu.config import DEFAULT_CONFIG, RenderConfig
 from tryraytrace_tpu.core import rng
+from tryraytrace_tpu.ops.intersect import baldwin_intersect, baldwin_rows
 
 PI = np.float32(np.pi)
 F32 = np.float32
@@ -37,9 +38,20 @@ def _cross(a, b):
     return np.cross(a, b).astype(np.float32)
 
 
-def _intersect_brute(v0, v1, v2, o, d):
+def _intersect_brute(v0, v1, v2, o, d, bw=None):
     """Closest hit of rays [N,3] against all triangles [T,3]: returns
-    (t [N], id [N]).  Moller-Trumbore with the reference's epsilons."""
+    (t [N], id [N]).  Moller-Trumbore with the reference's epsilons;
+    with ``bw`` (precomputed baldwin_rows, mirroring the engines'
+    cfg.leaf_isect == "bw" tables) the same Baldwin-Weber kernel the
+    engines run, for bit-comparability."""
+    if bw is not None:
+        t = baldwin_intersect(bw[None], o[:, None], d[:, None], np)
+        t = np.where(t > 0, t, F32(np.inf))
+        idx = t.argmin(axis=1)
+        tmin = t[np.arange(t.shape[0]), idx]
+        hit = np.isfinite(tmin)
+        return (np.where(hit, tmin, F32(1e20)).astype(np.float32),
+                np.where(hit, idx, -1).astype(np.int32))
     eps = F32(1e-5)
     e1 = (v1 - v0)[None]            # [1,T,3]
     e2 = (v2 - v0)[None]
@@ -63,9 +75,13 @@ def _intersect_brute(v0, v1, v2, o, d):
             np.where(hit, idx, -1).astype(np.int32))
 
 
-def _occluded_brute(v0, v1, v2, o, d, max_dist, active):
+def _occluded_brute(v0, v1, v2, o, d, max_dist, active, bw=None):
     """Any-hit: True where something blocks in (0.001, max_dist-0.001)
     (trace_shadow semantics, renderer.cu:273-314)."""
+    if bw is not None:
+        t = baldwin_intersect(bw[None], o[:, None], d[:, None], np)
+        blocking = (t > 1e-3) & (t < (max_dist - 1e-3)[:, None])
+        return blocking.any(axis=1) & active
     eps = F32(1e-5)
     e1 = (v1 - v0)[None]
     e2 = (v2 - v0)[None]
@@ -147,12 +163,13 @@ def _oracle_sample(ar, cam, width, height, seed, cfg, textures):
     prev_spec = np.ones(n, bool)
 
     v0, v1, v2 = ar.tri_v0, ar.tri_v1, ar.tri_v2
+    bw = baldwin_rows(v0, v1, v2) if cfg.leaf_isect == "bw" else None
     lcount = ar.num_lights
 
     for depth in range(cfg.max_depth):
         if not alive.any():
             break
-        t, hid = _intersect_brute(v0, v1, v2, o, d)
+        t, hid = _intersect_brute(v0, v1, v2, o, d, bw=bw)
         alive = alive & (hid >= 0)
         sid = np.maximum(hid, 0)
         x_hit = o + d * t[:, None]
@@ -299,7 +316,8 @@ def _oracle_sample(ar, cam, width, height, seed, cfg, textures):
                 geo = m_diff & (cos_t > 0) & (cos_l > 0)
                 occ = _occluded_brute(v0, v1, v2,
                                       x_hit + nl_off * F32(cfg.shadow_eps),
-                                      l_dir, dist - F32(cfg.shadow_max_dist_eps), geo)
+                                      l_dir, dist - F32(cfg.shadow_max_dist_eps), geo,
+                                      bw=bw)
                 lit = geo & ~occ
                 area = 0.5 * np.sqrt((_cross(lv1 - lv0, lv2 - lv0) ** 2).sum(-1))
                 pdf = 1.0 / (area * lcount)

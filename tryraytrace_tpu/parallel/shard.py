@@ -104,7 +104,8 @@ class ShardedRenderer:
         scene, textures, bvh = upload_scene(arrays, device_put=False,
                                             leaf_size=cfg.bvh_leaf_size,
                                             method=cfg.bvh_method,
-                                            traversal=cfg.traversal)
+                                            traversal=cfg.traversal,
+                                            leaf_fmt=cfg.leaf_isect)
         if cfg.shade_every < 1:
             from tryraytrace_tpu.config import inline_resolved
             from tryraytrace_tpu.engine.device_scene import auto_shade_every
