@@ -53,7 +53,8 @@ arrays = flatten_scene(scene_h, textures=[checker_texture(128)])
 cfg = RenderConfig(width=w, height=h, spp=spp, **spec)
 scene, textures, bvh = upload_scene(arrays, leaf_size=cfg.bvh_leaf_size,
                                     method=cfg.bvh_method,
-                                    traversal=cfg.traversal)
+                                    traversal=cfg.traversal,
+                                    leaf_fmt=cfg.leaf_isect)
 cam = CameraController().get_params(w, h)
 pix = jnp.arange(lanes, dtype=jnp.int32)
 

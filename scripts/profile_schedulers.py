@@ -38,7 +38,8 @@ arrays = flatten_scene(create_cornell_box(),
 cfg = RenderConfig(width=w, height=h, spp=spp, scheduler=sched, **spec)
 scene, textures, bvh = upload_scene(arrays, leaf_size=cfg.bvh_leaf_size,
                                     method=cfg.bvh_method,
-                                    traversal=cfg.traversal)
+                                    traversal=cfg.traversal,
+                                    leaf_fmt=cfg.leaf_isect)
 cam = CameraController().get_params(w, h)
 
 from tryraytrace_tpu.engine.persistent import render_frame_persistent

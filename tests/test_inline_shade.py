@@ -144,7 +144,8 @@ def _dbg_render(arrays, **cfg_kw):
                        **cfg_kw)
     scene, textures, _ = upload_scene(arrays, leaf_size=cfg.bvh_leaf_size,
                                       method=cfg.bvh_method,
-                                      traversal=cfg.traversal)
+                                      traversal=cfg.traversal,
+                                      leaf_fmt=cfg.leaf_isect)
     cam = CameraController().get_params(w, h)
     out, dbg = jax.jit(
         lambda fs: render_frame_persistent(scene, textures, cam, fs, w,

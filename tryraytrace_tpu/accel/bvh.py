@@ -777,6 +777,10 @@ def leaf_slot_rows(v0, v1, v2, leaf_fmt: str = "mt"):
     return np.concatenate([v0, v1 - v0, v2 - v0], axis=-1)
 
 
+# Per-slot leaf storage strides: "mt" rows are (v0, e1, e2), "bw" rows
+# the Baldwin-Weber (n, v0, bu, bv) transform.  SINGLE SOURCE for both
+# pack widths (here) and decode offsets (ops/intersect.py re-imports
+# this dict) -- adding a format in one place only cannot desync them.
 LEAF_STRIDE = {"mt": 9, "bw": 12}
 
 

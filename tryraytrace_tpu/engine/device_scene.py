@@ -166,6 +166,11 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
     Returns (device_scene, textures_tuple, bvh).  Textures ride
     separately because their shapes vary per scene.
     """
+    from tryraytrace_tpu.accel.bvh import LEAF_STRIDE
+
+    if leaf_fmt not in LEAF_STRIDE:
+        raise ValueError(f"unknown leaf_isect {leaf_fmt!r} "
+                         f"(expected one of {sorted(LEAF_STRIDE)})")
     if bvh is None:
         if leaf_size <= 0:
             bvh, leaf_size = _build_auto_leaf(arrays, method, traversal,

@@ -15,9 +15,10 @@ from tryraytrace_tpu.core import vec
 
 EPS = 1e-5
 
-# Per-slot leaf storage strides: "mt" rows are (v0, e1, e2), "bw" rows
-# are the precomputed Baldwin-Weber (n, v0, bu, bv) transform.
-LEAF_STRIDE = {"mt": 9, "bw": 12}
+# Per-slot leaf storage strides: single-sourced in accel/bvh.py (the
+# no-jax builder module) so pack widths and decode offsets can never
+# disagree; re-exported here for the ops-side decode call sites.
+from tryraytrace_tpu.accel.bvh import LEAF_STRIDE  # noqa: E402
 
 
 def moller_trumbore(v0, v1, v2, r_o, r_d, xp=jnp):

@@ -102,7 +102,13 @@ def _leaf_intersect(row, k: int, r_o, r_d, prim_start, prim_count,
         ok = (t > tlo) & (t < thi) & (t < best_t)
         best_t = jnp.where(ok, t, best_t)
         best_id = jnp.where(ok, prim_start + j, best_id)
-    return best_t, best_id
+    # Internal rows (prim_start < 0) hold box/child data in the slot
+    # columns; their decoded "t"s are garbage.  Enforce the miss at the
+    # source so the contract doesn't rest on every caller's is_leaf
+    # mask (two selects; XLA CSEs them with the callers' masks).
+    is_leaf = prim_start >= 0
+    return (jnp.where(is_leaf, best_t, MISS_T),
+            jnp.where(is_leaf, best_id, -1))
 
 
 # --- Fat-node traversal (v3; see accel/bvh.py pack_fatnode_table) ----
@@ -122,7 +128,8 @@ def _fat_leaf_intersect(row, k: int, r_o, r_d, prim_start, prim_count,
     slots at columns base0.. of each gathered row, inside the per-lane
     open window (tlo, thi) (see ``_leaf_intersect``).  Pad slots are
     all-zero (degenerate -> miss), so no per-slot count mask is
-    needed; callers mask the result by ``is_leaf``."""
+    needed; the miss for internal rows is enforced here (see
+    ``_leaf_intersect``) rather than left to callers' is_leaf masks."""
     del prim_count  # pad slots self-mask (zero edges -> parallel -> t=0)
     n = r_o.shape[0]
     best_t = jnp.full((n,), MISS_T)
@@ -133,7 +140,9 @@ def _fat_leaf_intersect(row, k: int, r_o, r_d, prim_start, prim_count,
         ok = (t > tlo) & (t < thi) & (t < best_t)
         best_t = jnp.where(ok, t, best_t)
         best_id = jnp.where(ok, prim_start + j, best_id)
-    return best_t, best_id
+    is_leaf = prim_start >= 0
+    return (jnp.where(is_leaf, best_t, MISS_T),
+            jnp.where(is_leaf, best_id, -1))
 
 
 def fatnode_step(table, k: int, r_o, r_d, inv_d, cur, stack,
