@@ -10,7 +10,11 @@ def test_bench_smoke(capsys, monkeypatch):
 
     monkeypatch.setattr(sys, "argv", [
         "bench.py", "--width", "16", "--height", "12", "--spp", "1",
-        "--frames", "1", "--mesh", "cube.obj",
+        "--frames", "2", "--mesh", "cube.obj",
+        # the MSE subprocess would compile a 256x256 engine (minutes on
+        # XLA:CPU) and the settle loop would wait out the test suite's
+        # own load -- both are driver-run features, not test features
+        "--no-mse", "--settle-seconds", "0",
     ])
     rc = bench.main()
     assert rc == 0
@@ -18,12 +22,40 @@ def test_bench_smoke(capsys, monkeypatch):
                  if ln.strip()]
     assert len(out_lines) == 1, f"stdout must be ONE JSON line: {out_lines}"
     result = json.loads(out_lines[0])
-    for key in ("metric", "value", "unit", "vs_baseline"):
+    for key in ("metric", "value", "unit", "vs_baseline", "frame_seconds",
+                "warnings", "loadavg_start", "host_cores"):
         assert key in result, f"missing {key}"
     assert result["unit"] == "Mrays/s"
     assert result["value"] > 0
+    assert len(result["frame_seconds"]) >= 2
     # both fields are independently rounded in the report
     assert abs(result["vs_baseline"] - result["value"] / 200.0) < 5e-4
+
+
+def test_bench_shard_mesh_dryrun(capsys, monkeypatch):
+    """bench.py --shard-mesh runs the whole-mesh sharded step (here on
+    the conftest's 8 virtual CPU devices) and reports mesh-scoped
+    Mrays/s with psum'd ray counts."""
+    import bench
+
+    monkeypatch.setattr(sys, "argv", [
+        "bench.py", "--width", "16", "--height", "12", "--spp", "2",
+        "--frames", "1", "--mesh", "cube.obj", "--shard-mesh", "4,2",
+        "--no-mse", "--settle-seconds", "0",
+    ])
+    rc = bench.main()
+    assert rc == 0
+    out_lines = [ln for ln in capsys.readouterr().out.splitlines()
+                 if ln.strip()]
+    assert len(out_lines) == 1
+    result = json.loads(out_lines[0])
+    assert "4,2 (dp,sp) mesh" in result["metric"]
+    assert result["value"] > 0
+    # ray counts are frame properties: 16x12x2spp traces the same rays
+    # sharded or not, and vs_baseline is scaled per-chip (x8 here)
+    assert result["rays_per_frame"] > 16 * 12 * 2
+    assert abs(result["vs_baseline"]
+               - result["value"] / 1600.0) < 5e-4
 
 
 def test_cli_bench_config_forwards_traversal(monkeypatch, capsys):

@@ -35,10 +35,14 @@ enable_compilation_cache()
 
 def render_frame_sharded(scene, textures, cam, frame_seed, width: int,
                          height: int, cfg: RenderConfig, spp: int,
-                         mesh) -> jax.Array:
+                         mesh, with_stats: bool = False):
     """Render one frame's radiance sum [N, 3], sharded over ``mesh``.
 
-    Requires width*height % dp == 0 and spp % sp == 0.
+    Requires width*height % dp == 0 and spp % sp == 0.  With
+    ``with_stats`` also returns the frame's exact (path, shadow) ray
+    totals psum'd over both mesh axes -- the Mrays/s numerator for the
+    sharded benchmark (bench.py --shard-mesh), replicated on every
+    shard.
     """
     n = width * height
     dp = mesh.shape[TILE_AXIS]
@@ -60,17 +64,29 @@ def render_frame_sharded(scene, textures, cam, frame_seed, width: int,
         # pixels is this shard's contiguous block of the global
         # arange, so pixels[j] == pixels[0] + j: the affine promise
         # lets quota's inline refill claim pixels without a gather.
-        acc = render_frame(scene, textures, cam, frame_seed, width,
-                           height, cfg, spp=local_spp, pixel_idx=pixels,
-                           sample_offset=s_idx * local_spp, seed_spp=spp,
-                           pixel_affine_base=pixels[0])
-        return jax.lax.psum(acc, SAMPLE_AXIS)
+        out = render_frame(scene, textures, cam, frame_seed,
+                           width, height, cfg, spp=local_spp,
+                           pixel_idx=pixels,
+                           sample_offset=s_idx * local_spp,
+                           seed_spp=spp,
+                           pixel_affine_base=pixels[0],
+                           with_stats=with_stats)
+        if not with_stats:
+            return jax.lax.psum(out, SAMPLE_AXIS)
+        acc, (tr, sh) = out
+        acc = jax.lax.psum(acc, SAMPLE_AXIS)
+        # Frame-total ray counts: sum the per-shard counters over both
+        # axes so every shard returns the same replicated scalars.
+        tr = jax.lax.psum(tr, (TILE_AXIS, SAMPLE_AXIS))
+        sh = jax.lax.psum(sh, (TILE_AXIS, SAMPLE_AXIS))
+        return acc, (tr, sh)
 
     fn = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(TILE_AXIS)),
-        out_specs=P(TILE_AXIS),
+        out_specs=(P(TILE_AXIS), (P(), P())) if with_stats
+        else P(TILE_AXIS),
         # The traversal while_loops initialize carries from replicated
         # constants that become shard-varying inside the body; that is
         # intentional, so skip the varying-manual-axes check.
