@@ -35,6 +35,28 @@ def pytest_sessionstart(session):
     assert jax.devices()[0].platform == "cpu", jax.devices()
 
 
+# Fast tier (`pytest -m fast`): host-only logic plus one tiny engine
+# golden pass -- no big XLA:CPU engine-variant compiles, so it stays
+# green-verifiable in minutes even on a 1-core host (the full suite's
+# compiles take 30-60 min there; CLAUDE.md).  Membership is by file:
+# everything in these modules is cheap.
+FAST_FILES = {
+    "test_vec_math.py", "test_camera.py", "test_bvh.py", "test_sah.py",
+    "test_sbvh.py", "test_objloader.py", "test_io.py",
+    "test_quad_pack.py", "test_native.py", "test_auto_cadence.py",
+    "test_auto_leaf.py", "test_rng.py", "test_traverse.py",
+    "test_leaf_isect.py", "test_golden.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if os.path.basename(str(item.fspath)) in FAST_FILES:
+            item.add_marker(pytest.mark.fast)
+
+
 # XLA:CPU segfaults (inside backend_compile_and_load) once a single
 # process has accumulated a few hundred compiled executables -- the
 # staged spill ladder multiplied loop bodies per config and pushed the
