@@ -166,8 +166,11 @@ class RenderConfig:
     # decision structure (|n.d| = |a| parallel guard, t > 1e-5, same
     # barycentric bounds).  Hit decisions agree with MT except for
     # float ULP boundary flips; the CPU oracle mirrors whichever
-    # format is selected, so golden MSEs are unchanged.
-    leaf_isect: str = "mt"
+    # format is selected, so golden MSEs are unchanged.  Default "bw":
+    # measured 24.83 vs 22.22 Mrays/s at the headline on v5e (round 3,
+    # BASELINE.md) -- the K-unrolled leaf block is the biggest
+    # elementwise chunk in the step and bw cuts it ~30%.
+    leaf_isect: str = "bw"
     # Traversal steps executed per while-loop iteration in the
     # persistent engine.  Measured on v5e, a loop iteration containing
     # gathers pays a ~0.27 ms fixed cost once regardless of how many

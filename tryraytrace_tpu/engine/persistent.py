@@ -567,6 +567,21 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     return final["out"]
 
 
+def _walk_inv(ls3, rd):
+    """Per-lane inverse direction for the shared TRAVERSE/SHADOW step:
+    the closest-hit walk uses the sign-preserving safe inverse
+    (renderer.cu:371-373), the shadow walk the plain reciprocal
+    (renderer.cu:276).  Fused into ONE lane-wide division -- division
+    is the costliest VPU elementwise op in the step, and the naive
+    ``where(ls3, 1/rd, safe_inv(rd))`` pays it twice.  Bit-identical:
+    shadow lanes divide by rd exactly as before, traverse lanes follow
+    vec.safe_inv's guarded divide."""
+    tiny = (jnp.abs(rd) < 1e-8) & ~ls3
+    q = 1.0 / jnp.where(tiny, jnp.float32(1.0), rd)
+    big = jnp.where(rd >= 0, jnp.float32(1e20), jnp.float32(-1e20))
+    return jnp.where(tiny, big, q)
+
+
 def _step(s, table, sentinel, k: int, col_ps: int, inline=None,
           service: bool = True, fmt: str = "mt"):
     """One traversal step for TRAVERSE and SHADOW lanes -- a single
@@ -603,9 +618,7 @@ def _step(s, table, sentinel, k: int, col_ps: int, inline=None,
     ls3 = live_s[..., None]
     ro = jnp.where(ls3, s["so"], s["o"])
     rd = jnp.where(ls3, s["sd"], s["d"])
-    # Closest-hit uses the safe inverse (renderer.cu:371-373), the
-    # shadow walk the plain reciprocal (renderer.cu:276).
-    inv = jnp.where(ls3, 1.0 / rd, vec.safe_inv(rd, jnp))
+    inv = _walk_inv(ls3, rd)
     t_min = jnp.where(live_s, jnp.float32(1e-3), jnp.float32(0.0))
     t_max = jnp.where(live_s, s["smax"], s["d_min"])
 
@@ -776,7 +789,7 @@ def _step_pair(s, table, sentinel, k: int, col_ps: int, inline=None,
     ls3 = live_s[..., None]
     ro = jnp.where(ls3, s["so"], s["o"])
     rd = jnp.where(ls3, s["sd"], s["d"])
-    inv = jnp.where(ls3, 1.0 / rd, vec.safe_inv(rd, jnp))
+    inv = _walk_inv(ls3, rd)
     t_min = jnp.where(live_s, jnp.float32(1e-3), jnp.float32(0.0))
 
     prim_start = row[:, 0].astype(jnp.int32)
@@ -871,7 +884,7 @@ def _step_quad(s, table, sentinel, k: int, col_ps: int, inline=None,
     ls3 = live_s[..., None]
     ro = jnp.where(ls3, s["so"], s["o"])
     rd = jnp.where(ls3, s["sd"], s["d"])
-    inv = jnp.where(ls3, 1.0 / rd, vec.safe_inv(rd, jnp))
+    inv = _walk_inv(ls3, rd)
     t_min = jnp.where(live_s, jnp.float32(1e-3), jnp.float32(0.0))
 
     prim_start = row[:, 0].astype(jnp.int32)
@@ -941,7 +954,7 @@ def _step_fat(s, table, sentinel, k: int, col_ps: int, inline=None,
     ls3 = live_s[..., None]
     ro = jnp.where(ls3, s["so"], s["o"])
     rd = jnp.where(ls3, s["sd"], s["d"])
-    inv = jnp.where(ls3, 1.0 / rd, vec.safe_inv(rd, jnp))
+    inv = _walk_inv(ls3, rd)
     t_min = jnp.where(live_s, jnp.float32(1e-3), jnp.float32(0.0))
     t_max = jnp.where(live_s, s["smax"], s["d_min"])
 
