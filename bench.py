@@ -164,6 +164,15 @@ def main() -> int:
                     help="compaction-ladder depth (config default: 4)")
     ap.add_argument("--c-isect", type=float, default=0.4,
                     help="SAH intersection cost (cost-model sweeps)")
+    ap.add_argument("--compile-rolls", type=int, default=2,
+                    help="compile N semantically-identical executables "
+                    "(distinct HLO tags) and keep the fastest: the "
+                    "remote-compile service in this environment has "
+                    "produced 2.7x-slow binaries for the same program "
+                    "(BASELINE.md); each extra roll costs one compile "
+                    "+ one probe frame. Default 2 so the official "
+                    "once-per-round number re-rolls the dice once; "
+                    "pass 1 for quick interactive runs")
     args = ap.parse_args()
     args.frames = max(1, args.frames)
 
@@ -261,31 +270,78 @@ def main() -> int:
         log(f"[bench] sharded step over mesh dp={dp} x sp={sp} "
             f"({dp * sp} devices)")
 
-        @functools.partial(jax.jit, donate_argnames=("accum",))
-        def step(accum, frame_seed):
-            """One whole-mesh frame with exact psum'd ray counts."""
-            rad, (tr, sh) = render_frame_sharded(
-                scene, textures, cam, frame_seed, w, h, cfg, spp, mesh,
-                with_stats=True)
-            return accum + rad, tr, sh
+        def make_step(roll: int):
+            @functools.partial(jax.jit, donate_argnames=("accum",))
+            def step(accum, frame_seed):
+                """One whole-mesh frame with exact psum'd ray counts."""
+                rad, (tr, sh) = render_frame_sharded(
+                    scene, textures, cam, frame_seed, w, h, cfg, spp,
+                    mesh, with_stats=True)
+                if roll:
+                    tr = tr + tr * jnp.float32(0) * (roll + 1)
+                return accum + rad, tr, sh
+            return step
 
-        accum = jax.device_put(np.zeros((w * h, 3), np.float32),
-                               NamedSharding(mesh, P(TILE_AXIS)))
+        def fresh_accum():
+            return jax.device_put(np.zeros((w * h, 3), np.float32),
+                                  NamedSharding(mesh, P(TILE_AXIS)))
     else:
-        @functools.partial(jax.jit, donate_argnames=("accum",))
-        def step(accum, frame_seed):
-            """One frame: spp samples accumulated, with exact ray counts."""
-            rad, (tr, sh) = render_frame(scene, textures, cam, frame_seed,
-                                         w, h, cfg, spp=spp,
-                                         with_stats=True)
-            return accum + rad, tr, sh
+        def make_step(roll: int):
+            @functools.partial(jax.jit, donate_argnames=("accum",))
+            def step(accum, frame_seed):
+                """One frame: spp samples accumulated, exact ray counts."""
+                rad, (tr, sh) = render_frame(scene, textures, cam,
+                                             frame_seed, w, h, cfg,
+                                             spp=spp, with_stats=True)
+                if roll:
+                    # Traced no-op with ``roll`` as an HLO literal: the
+                    # module hash differs, so the remote-compile service
+                    # cannot serve roll 0's (possibly slow) executable;
+                    # XLA folds the multiply-by-zero out of the binary.
+                    tr = tr + tr * jnp.float32(0) * (roll + 1)
+                return accum + rad, tr, sh
+            return step
 
-        accum = jnp.zeros((w * h, 3), jnp.float32)
-    t0 = time.time()
-    accum, tr, sh = step(accum, jnp.uint32(1))
-    jax.block_until_ready(accum)
-    compile_s = time.time() - t0
-    rays_per_frame = float(tr) + float(sh)
+        def fresh_accum():
+            return jnp.zeros((w * h, 3), jnp.float32)
+
+    # Compile each roll, then time ONE steady frame per roll and keep
+    # the fastest executable for the timing loop (compile-service
+    # variance defense; rolls == 1 skips the extra compiles).
+    rolls = max(1, args.compile_rolls)
+    roll_compile: list[float] = []
+    roll_steady: list[float] = []
+    steps = []
+    rays_per_frame = 0.0
+    for roll in range(rolls):
+        step_r = make_step(roll)
+        accum_r = fresh_accum()
+        t0 = time.time()
+        accum_r, tr, sh = step_r(accum_r, jnp.uint32(1))
+        jax.block_until_ready(accum_r)
+        roll_compile.append(time.time() - t0)
+        rays_per_frame = float(tr) + float(sh)
+        if rolls > 1:
+            t0 = time.time()
+            accum_r, tr, sh = step_r(accum_r, jnp.uint32(1))
+            jax.block_until_ready(accum_r)
+            roll_steady.append(time.time() - t0)
+            log(f"[bench] roll {roll}: compile+frame "
+                f"{roll_compile[-1]:.1f}s, steady {roll_steady[-1]:.1f}s")
+        steps.append(step_r)
+        del accum_r
+    if rolls > 1:
+        chosen = roll_steady.index(min(roll_steady))
+        if (max(roll_steady) - min(roll_steady)) / min(roll_steady) > 0.25:
+            warnings.append(
+                f"compile rolls produced executables {roll_steady} s/frame "
+                f"apart (>25%): remote-compile service variance; using "
+                f"roll {chosen}")
+    else:
+        chosen = 0
+    step = steps[chosen]
+    accum = fresh_accum()
+    compile_s = roll_compile[chosen]
     log(f"[bench] first frame (compile+run): {compile_s:.1f}s; rays/frame "
         f"{rays_per_frame / 1e6:.2f}M (path {float(tr) / 1e6:.2f}M + "
         f"shadow {float(sh) / 1e6:.2f}M; "
@@ -366,6 +422,10 @@ def main() -> int:
         "frame_spread": round(spread, 3),
         "rays_per_frame": rays_per_frame,
         "compile_seconds": round(compile_s, 1),
+        "compile_rolls": rolls,
+        "chosen_roll": chosen,
+        "roll_compile_seconds": [round(t, 1) for t in roll_compile],
+        "roll_steady_seconds": [round(t, 2) for t in roll_steady],
         "mse_vs_oracle": mse,
         "host_cores": cores,
         "loadavg_start": load_start,
