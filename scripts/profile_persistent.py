@@ -32,9 +32,28 @@ VARIANTS = [
     {"step_unroll": 8, "shade_every": 2, "dual_walk": True},
 ]
 
+# --buckets: decompose the per-lane-step cost into leaf-intersection /
+# decode / service / base-gather buckets by differencing variants that
+# scale exactly one bucket (VERDICT r2 #5).  All inline variants have
+# ticks == 0, and the body contribution is a near-constant ~7%, so
+# per-variant ns/lane-step deltas isolate the buckets:
+#   leaf slope (ns per leaf slot) = (C[K=8] - C[K=4]) / 4, per format;
+#   service block = C[inline] - C[no-inline]  (shade/regen block runs
+#     masked every step under inline; the no-inline step drops it);
+#   decode delta = C[quad] - C[threaded] at equal (fmt, K).
+BUCKET_VARIANTS = [
+    {"label": "bw-K8-quad-inline"},                    # default config
+    {"label": "mt-K8-quad-inline", "leaf_isect": "mt"},
+    {"label": "bw-K4-quad-inline", "bvh_leaf_size": 4},
+    {"label": "mt-K4-quad-inline", "leaf_isect": "mt", "bvh_leaf_size": 4},
+    {"label": "bw-K8-quad-tick", "inline_shade": False},
+    {"label": "bw-K8-threaded-inline", "traversal": "threaded"},
+]
+
 CHILD = r"""
 import json, sys, time, functools
 spec = json.loads(sys.argv[1])
+spec.pop("label", None)
 import jax, jax.numpy as jnp
 from tryraytrace_tpu.camera.controller import CameraController
 from tryraytrace_tpu.config import RenderConfig
@@ -97,8 +116,14 @@ def main() -> int:
     ap.add_argument("--timeout", type=float, default=1500.0)
     ap.add_argument("--variants", default=None,
                     help="JSON list overriding the built-in grid")
+    ap.add_argument("--buckets", action="store_true",
+                    help="run the bucket-decomposition grid and print "
+                    "the per-lane-step cost split (leaf / service / "
+                    "decode / base)")
     args = ap.parse_args()
-    variants = (json.loads(args.variants) if args.variants else VARIANTS)
+    variants = (BUCKET_VARIANTS if args.buckets
+                else json.loads(args.variants) if args.variants
+                else VARIANTS)
 
     rows = []
     for spec in variants:
@@ -119,6 +144,45 @@ def main() -> int:
         print(json.dumps(rec), flush=True)
 
     good = [r for r in rows if "ms" in r]
+    if args.buckets:
+        by = {r["spec"].get("label"): r for r in good}
+
+        def ns_step(r, c_tick_ms=0.278):
+            # ns per lane-step, tick cost removed with the round-2
+            # fitted C_tick (only the no-inline variant has ticks).
+            ms = r["ms"] - r["ticks"] * c_tick_ms
+            return ms * 1e6 / r["lane_steps"]  # ns/lane-step
+
+        out = {}
+        for lbl, r in by.items():
+            out[lbl] = round(ns_step(r), 3)
+        bk = {}
+        if {"bw-K8-quad-inline", "bw-K4-quad-inline"} <= by.keys():
+            bk["leaf_ns_per_slot_bw"] = round(
+                (ns_step(by["bw-K8-quad-inline"])
+                 - ns_step(by["bw-K4-quad-inline"])) / 4, 3)
+        if {"mt-K8-quad-inline", "mt-K4-quad-inline"} <= by.keys():
+            bk["leaf_ns_per_slot_mt"] = round(
+                (ns_step(by["mt-K8-quad-inline"])
+                 - ns_step(by["mt-K4-quad-inline"])) / 4, 3)
+        if {"bw-K8-quad-inline", "bw-K8-quad-tick"} <= by.keys():
+            bk["service_block_ns"] = round(
+                ns_step(by["bw-K8-quad-inline"])
+                - ns_step(by["bw-K8-quad-tick"]), 3)
+        if {"bw-K8-quad-inline", "bw-K8-threaded-inline"} <= by.keys():
+            bk["quad_decode_minus_threaded_ns"] = round(
+                ns_step(by["bw-K8-quad-inline"])
+                - ns_step(by["bw-K8-threaded-inline"]), 3)
+        if "leaf_ns_per_slot_bw" in bk:
+            bk["base_gather_plus_decode_ns"] = round(
+                ns_step(by["bw-K8-quad-inline"])
+                - 8 * bk["leaf_ns_per_slot_bw"]
+                - bk.get("service_block_ns", 0.0), 3)
+        rec = {"ns_per_lane_step": out, "buckets": bk}
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec, indent=1), flush=True)
+        return 0
     if len(good) >= 3:
         import numpy as np
 
