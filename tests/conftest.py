@@ -45,7 +45,7 @@ FAST_FILES = {
     "test_sbvh.py", "test_objloader.py", "test_io.py",
     "test_quad_pack.py", "test_native.py", "test_auto_cadence.py",
     "test_auto_leaf.py", "test_rng.py", "test_traverse.py",
-    "test_leaf_isect.py", "test_golden.py",
+    "test_leaf_isect.py", "test_golden.py", "test_walk_inv.py",
 }
 
 
