@@ -244,10 +244,13 @@ class RenderConfig:
     # 4096 lanes) collapsed to 2.2.  Under the shorter quad walks the
     # optimum moved deeper -- the narrow-width stages now drain more
     # than they cost: quad+single-walk 4/5/6/7/8 -> 21.21 / 21.76 /
-    # 21.99 / 22.05 / 22.05.  Default 6: 7+ is inside run noise and
-    # every stage compiles its own loop body.
+    # 21.99 / 22.05 / 22.05.  Under bw leaf rows (cheaper steps) it
+    # moved deeper again: 5/6/7/8 -> 24.60 / 24.86 / 24.98 / 25.01,
+    # with 7 reproduced exactly across two independent compiles.
+    # Default 8; the climb flattens (+0.03%/stage at 8), and every
+    # stage compiles its own loop body.
     tail_spill: bool = True
-    spill_stages: int = 6
+    spill_stages: int = 8
     # Cap on persistent-wave width: frames with more pixels render in
     # sequential pixel chunks of at most this many lanes (0 = one
     # wave).  RNG streams are absolute, so chunking never changes the
