@@ -69,7 +69,9 @@ def main() -> None:
 
     print("\n-- vs row width (N=65536, 12k rows) --")
     idx = jnp.asarray(rng.randint(0, 12288, n).astype(np.int32))
-    for c in (4, 24, 96, 112):
+    # 106/130/154/202 = quad bw-row widths at fat-leaf K=8/10/12/16
+    # (the K>8 points size the larger-leaf experiment, round 3).
+    for c in (4, 24, 96, 112, 130, 154, 202):
         t = jnp.asarray(rng.rand(12288, c).astype(np.float32))
         dt = timeit(gather_loop(t, idx), idx)
         print(f"  C={c:>4}: {dt * 1e3:7.3f} ms/step")

@@ -67,6 +67,7 @@ from tryraytrace_tpu.utils.jaxtools import enable_compilation_cache
 enable_compilation_cache()
 w, h, spp = 512, 512, 4
 lanes = spec.pop("lanes", 65536)
+roll = spec.pop("roll", 0)
 scene_h = create_cornell_box(mesh="teapot.obj")
 arrays = flatten_scene(scene_h, textures=[checker_texture(128)])
 cfg = RenderConfig(width=w, height=h, spp=spp, **spec)
@@ -79,9 +80,16 @@ pix = jnp.arange(lanes, dtype=jnp.int32)
 
 @jax.jit
 def run(frame_seed):
-    return render_frame_persistent(
+    out, (tr, sh), dbg = render_frame_persistent(
         scene, textures, cam, frame_seed, w, h, cfg, spp,
         pixel_idx=pix, with_stats=True, with_debug=True)
+    if roll:
+        # Traced no-op with ``roll`` as an HLO literal (bench.py's
+        # compile-roll trick): the module hash differs so the flaky
+        # remote-compile service cannot reuse an earlier roll's slow
+        # executable; XLA folds the multiply-by-zero out.
+        tr = tr + tr * jnp.float32(0) * (roll + 1)
+    return out, (tr, sh), dbg
 
 t0 = time.time()
 out, (tr, sh), dbg = run(jnp.uint32(1))
