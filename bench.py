@@ -161,7 +161,10 @@ def main() -> int:
                     "(default: config default = auto)")
     ap.add_argument("--scheduler", default=None, help="owner | pool | quota")
     ap.add_argument("--spill-stages", type=int, default=None,
-                    help="compaction-ladder depth (config default: 4)")
+                    help="compaction-ladder depth (config default: 8)")
+    ap.add_argument("--redirect-passes", type=int, default=None,
+                    help="quad-walk skip-register redirect passes per "
+                    "step (config default: 2)")
     ap.add_argument("--c-isect", type=float, default=0.4,
                     help="SAH intersection cost (cost-model sweeps)")
     ap.add_argument("--compile-rolls", type=int, default=2,
@@ -229,6 +232,8 @@ def main() -> int:
         cfg = cfg.replace(scheduler=args.scheduler)
     if args.spill_stages is not None:
         cfg = cfg.replace(spill_stages=args.spill_stages)
+    if args.redirect_passes is not None:
+        cfg = cfg.replace(quad_redirect_passes=args.redirect_passes)
 
     t0 = time.time()
     scene, textures, bvh = upload_scene(arrays, leaf_size=cfg.bvh_leaf_size,

@@ -180,3 +180,20 @@ def test_dual_walk_stats_match(arrays):
         )(r.scene, r.textures, cam, 1, width=32, height=16, cfg=cfg, spp=2)
         counts[dw] = (float(tr), float(sh))
     assert counts[False] == counts[True]
+
+
+def test_redirect_passes_identical(arrays):
+    """quad_redirect_passes only changes visit ORDER/count (chained
+    skip-register misses resolve now vs. via containment absorption);
+    closest/any-hit are order-independent, so images are identical."""
+    cam = CameraController()
+    p = cam.get_params(40, 24)
+    outs = []
+    for rp in (2, 1):
+        cfg = RenderConfig(width=40, height=24, spp=2,
+                           quad_redirect_passes=rp)
+        assert cfg.traversal == "quad"
+        r = Renderer(arrays, cfg=cfg)
+        r.step(p, spp=2)
+        outs.append(r.accum_host())
+    np.testing.assert_allclose(outs[0], outs[1], **_ULP)

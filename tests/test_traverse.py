@@ -257,3 +257,24 @@ def test_quad_collapse_is_topology_only():
                       pv2 * 1.7 + 0.3)
     after = collapse_bvh(moved)
     assert before == after
+
+
+def test_mux8_matches_onehot():
+    """The binary select tree (_mux8) must be bit-identical to the
+    one-hot multiply-add it replaced in the octant-column decodes --
+    including on arbitrary floats (SHADEG/TEXG lanes gather material
+    rows through the same slot, so the decode sees garbage columns
+    that must flow through unchanged)."""
+    import jax.numpy as jnp
+    from tryraytrace_tpu.ops.traverse import _mux8
+
+    rs = np.random.RandomState(3)
+    cols_np = [rs.randn(257).astype(np.float32) * 10 ** rs.randint(-3, 6)
+               for _ in range(8)]
+    cols_np[2][5] = np.inf
+    cols_np[6][7] = np.nan
+    octant = rs.randint(0, 8, 257).astype(np.int32)
+    out = np.asarray(_mux8(jnp.asarray(octant),
+                           [jnp.asarray(c) for c in cols_np]))
+    ref = np.stack(cols_np, 1)[np.arange(257), octant]
+    np.testing.assert_array_equal(out, ref)

@@ -171,6 +171,15 @@ class RenderConfig:
     # BASELINE.md) -- the K-unrolled leaf block is the biggest
     # elementwise chunk in the step and bw cuts it ~30%.
     leaf_isect: str = "bw"
+    # Redirect passes over the quad walk's 3-slot skip-register file
+    # per step (ops/traverse._regfile_apply).  Pass 2 also resolves
+    # CHAINED misses (a redirect landing on another registered entry);
+    # pass 1 leaves those to be absorbed by containment (more visits,
+    # fewer selects per step).  Identical images either way -- visit
+    # ORDER/count changes only, and closest/any-hit are
+    # order-independent.  Default 2 (the round-2 tuning); the 1-pass
+    # A/B rides the round-3 measurement queue.
+    quad_redirect_passes: int = 2
     # Traversal steps executed per while-loop iteration in the
     # persistent engine.  Measured on v5e, a loop iteration containing
     # gathers pays a ~0.27 ms fixed cost once regardless of how many

@@ -38,6 +38,8 @@ reference's pre-accumulate filters (renderer.cu:737-759).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -388,7 +390,10 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     step_unroll = max(1, cfg.step_unroll)
 
     step_fn = (_step_fat if fat else _step_pair if pair
-               else _step_quad if quad else _step)
+               else functools.partial(
+                   _step_quad,
+                   redirect_passes=max(1, cfg.quad_redirect_passes))
+               if quad else _step)
 
     def lane_done(s):
         done = s["mode"] == DONE
@@ -851,7 +856,8 @@ def _step_pair(s, table, sentinel, k: int, col_ps: int, inline=None,
 
 
 def _step_quad(s, table, sentinel, k: int, col_ps: int, inline=None,
-               service: bool = True, fmt: str = "mt"):
+               service: bool = True, fmt: str = "mt",
+               redirect_passes: int = 2):
     """One quad-row traversal step (accel/bvh.py pack_quad_table) for
     TRAVERSE and SHADOW lanes, sharing the single row gather; with
     ``inline`` the same slot serves SHADEG/TEXG exactly like _step.
@@ -907,7 +913,8 @@ def _step_quad(s, table, sentinel, k: int, col_ps: int, inline=None,
                                          t_min, t_max)
     nxt = jnp.where(is_leaf, cont, nxt_int)
     reg_e, reg_s, nxt = _regfile_apply(reg_e, reg_s, pushes, nxt,
-                                       stepping, ~is_leaf & stepping)
+                                       stepping, ~is_leaf & stepping,
+                                       passes=redirect_passes)
     cur = jnp.where(stepping, nxt, s["cur"])
 
     # Transitions (identical to _step/_step_pair).

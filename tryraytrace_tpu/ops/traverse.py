@@ -65,17 +65,25 @@ def ray_octant(r_d, xp=jnp):
             | ((r_d[..., 2] < 0).astype(xp.int32) << 2))
 
 
+def _mux8(octant, cols):
+    """Binary select tree over the 3 octant bits (7 selects + 3 bit
+    tests vs an 8-term one-hot's ~32 ops); pure selection of identical
+    values, so bit-identical to the one-hot multiply-add it replaced."""
+    b0 = (octant & 1) == 1
+    b1 = (octant & 2) == 2
+    l = [jnp.where(b0, cols[1], cols[0]), jnp.where(b0, cols[3], cols[2]),
+         jnp.where(b0, cols[5], cols[4]), jnp.where(b0, cols[7], cols[6])]
+    m = [jnp.where(b1, l[1], l[0]), jnp.where(b1, l[3], l[2])]
+    return jnp.where((octant & 4) == 4, m[1], m[0])
+
+
 def _decode_links(row, octant, k: int, xp=jnp, fmt: str = "mt"):
     """Per-ray (next_hit, next_miss) from the row's 16 octant-link
-    columns, selected arithmetically (one-hot multiply-add -- free
-    fused VPU work, avoiding a second gather)."""
+    columns, selected by an elementwise mux tree (free fused VPU work
+    riding the gather, avoiding a second gather)."""
     col = 6 + LEAF_STRIDE[fmt] * k + 2
-    nh = jnp.zeros(row.shape[0], jnp.float32)
-    nm = jnp.zeros(row.shape[0], jnp.float32)
-    for o in range(8):
-        sel = (octant == o).astype(jnp.float32)
-        nh = nh + sel * row[:, col + o]
-        nm = nm + sel * row[:, col + 8 + o]
+    nh = _mux8(octant, [row[:, col + o] for o in range(8)])
+    nm = _mux8(octant, [row[:, col + 8 + o] for o in range(8)])
     return nh.astype(jnp.int32), nm.astype(jnp.int32)
 
 
@@ -276,11 +284,8 @@ def _pair_decode(row, octant, r_o, inv_d, t_min, t_max):
     true where the walk descends near with far missed (so entry(far)
     -> cont may be registered), ``far`` the far child's row id.  All
     elementwise selects riding the row gather."""
-    cont = jnp.zeros(row.shape[0], jnp.float32)
-    for o in range(8):
-        cont = cont + ((octant == o).astype(jnp.float32)
-                       * row[:, PAIR_COL_CONT + o])
-    cont = cont.astype(jnp.int32)
+    cont = _mux8(octant, [row[:, PAIR_COL_CONT + o]
+                          for o in range(8)]).astype(jnp.int32)
     b = PAIR_COL_BODY
     hit_l = aabb_hit(row[:, b:b + 6], r_o, inv_d, t_min, t_max)
     hit_r = aabb_hit(row[:, b + 6:b + 12], r_o, inv_d, t_min, t_max)
@@ -414,12 +419,12 @@ def _quad_decode(row, octant, r_o, inv_d, t_min, t_max):
     (push, target, succ) triples in LIFO order (nearest missed sibling
     last, so after pushing in sequence it sits at register slot 0).
     All elementwise selects riding the row gather."""
-    # One packed column per octant (cont*256 + perm, bvh.py layout):
-    # a single 8-way mux replaces separate cont and perm muxes.
-    cp = jnp.zeros(row.shape[0], jnp.float32)
-    for o in range(8):
-        cp = cp + (octant == o).astype(jnp.float32) * row[
-            :, QUAD_COL_CONT + o]
+    # One packed column per octant (cont*256 + perm, bvh.py layout),
+    # selected by the _mux8 binary tree (7 selects vs the 8-term
+    # one-hot FMA's ~32 ops): pure selection of identical values, so
+    # bit-identical -- the decode's select network is the exposed
+    # per-step cost (docs/PERFORMANCE.md 2b.3).
+    cp = _mux8(octant, [row[:, QUAD_COL_CONT + o] for o in range(8)])
     cpi = cp.astype(jnp.int32)
     cont = cpi >> 8
     perm = cpi & 255
@@ -430,10 +435,13 @@ def _quad_decode(row, octant, r_o, inv_d, t_min, t_max):
     nsl = jnp.clip(row[:, b + QB_NSLOTS], 0, 4).astype(jnp.int32)
 
     def mux4(slot, vals, zero):
-        out = zero
-        for j in range(4):
-            out = jnp.where(slot == j, vals[j], out)
-        return out
+        # Binary select tree over the 2-bit slot (5 ops vs the 8 of a
+        # where-chain); slot is always in [0, 4) so ``zero`` is dead.
+        del zero
+        s0 = (slot & 1) == 1
+        a = jnp.where(s0, vals[1], vals[0])
+        c = jnp.where(s0, vals[3], vals[2])
+        return jnp.where((slot & 2) == 2, c, a)
 
     hit_p, ent_p = [], []
     for pos in range(4):
@@ -456,13 +464,15 @@ def _quad_decode(row, octant, r_o, inv_d, t_min, t_max):
     return cont, nxt_int, pushes
 
 
-def _regfile_apply(reg_e, reg_s, pushes, nxt, live, gate):
+def _regfile_apply(reg_e, reg_s, pushes, nxt, live, gate,
+                   passes: int = 2):
     """Advance the skip-register file: shift-push each (push, target,
     succ) triple (already LIFO-ordered), then redirect ``nxt`` past
     known-missed entries, consuming matches.  Two redirect passes
     resolve chained misses (a redirect landing on another registered
-    entry).  ``gate`` masks lanes whose row was internal and live.
-    reg_e/reg_s are [n, R]."""
+    entry); one pass leaves those to containment absorption (identical
+    results -- visit order/count changes only).  ``gate`` masks lanes
+    whose row was internal and live.  reg_e/reg_s are [n, R]."""
     es = [reg_e[:, r] for r in range(reg_e.shape[1])]
     ss = [reg_s[:, r] for r in range(reg_s.shape[1])]
     for push, tgt, succ in pushes:
@@ -472,7 +482,7 @@ def _regfile_apply(reg_e, reg_s, pushes, nxt, live, gate):
             ss[r] = jnp.where(p, ss[r - 1], ss[r])
         es[0] = jnp.where(p, tgt, es[0])
         ss[0] = jnp.where(p, succ, ss[0])
-    for _ in range(2):
+    for _ in range(max(1, passes)):
         for r in range(len(es)):
             m = live & (es[r] >= 0) & (nxt == es[r])
             nxt = jnp.where(m, ss[r], nxt)
