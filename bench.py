@@ -162,6 +162,15 @@ def main() -> int:
     ap.add_argument("--scheduler", default=None, help="owner | pool | quota")
     ap.add_argument("--spill-stages", type=int, default=None,
                     help="compaction-ladder depth (config default: 8)")
+    ap.add_argument("--quad-regs", type=int, default=None,
+                    help="quad-walk skip-register file depth "
+                         "(config default: 3)")
+    ap.add_argument("--quad-collapse", default=None,
+                    help="quad collapse criterion: count | sa "
+                         "(config default: count)")
+    ap.add_argument("--quad-layout", default=None,
+                    help="quad table layout: mux | octant | auto "
+                         "(config default: mux)")
     ap.add_argument("--redirect-passes", type=int, default=None,
                     help="quad-walk skip-register redirect passes per "
                     "step (config default: 2)")
@@ -234,13 +243,22 @@ def main() -> int:
         cfg = cfg.replace(spill_stages=args.spill_stages)
     if args.redirect_passes is not None:
         cfg = cfg.replace(quad_redirect_passes=args.redirect_passes)
+    if args.quad_regs is not None:
+        cfg = cfg.replace(quad_regs=args.quad_regs)
+    if args.quad_collapse is not None:
+        cfg = cfg.replace(quad_collapse=args.quad_collapse)
+    if args.quad_layout is not None:
+        cfg = cfg.replace(quad_layout=(None if args.quad_layout == "auto"
+                                       else args.quad_layout))
 
     t0 = time.time()
     scene, textures, bvh = upload_scene(arrays, leaf_size=cfg.bvh_leaf_size,
                                         method=cfg.bvh_method,
                                         traversal=cfg.traversal,
                                         c_isect=args.c_isect,
-                                        leaf_fmt=cfg.leaf_isect)
+                                        leaf_fmt=cfg.leaf_isect,
+                                        quad_collapse=cfg.quad_collapse,
+                                        quad_layout=cfg.quad_layout)
     if cfg.shade_every < 1:
         from tryraytrace_tpu.config import inline_resolved
         from tryraytrace_tpu.engine.device_scene import auto_shade_every

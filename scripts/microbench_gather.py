@@ -76,6 +76,19 @@ def main() -> None:
         dt = timeit(gather_loop(t, idx), idx)
         print(f"  C={c:>4}: {dt * 1e3:7.3f} ms/step")
 
+    print("\n-- vs row width at CONSTANT table bytes (~1.3 MB, N=65536) --")
+    # Decouples width from the ~3 MB size knee (the sweep above holds
+    # ROWS constant, so C=130 is a 6.4 MB table).  This is the clean
+    # answer to "is width still free past 112 f32?" (VERDICT r3 #2:
+    # bw K>=10 quad rows are 130+ wide).
+    for c in (96, 106, 112, 120, 128, 130, 144, 154, 202, 256):
+        m = max(256, int(1.3e6 / 4 / c))
+        t = jnp.asarray(rng.rand(m, c).astype(np.float32))
+        idx2 = jnp.asarray(rng.randint(0, m, n).astype(np.int32))
+        dt = timeit(gather_loop(t, idx2), idx2)
+        print(f"  C={c:>4} (M={m:>6}): {dt * 1e3:7.3f} ms/step "
+              f"({dt / n * 1e9:5.2f} ns/lane)")
+
     print("\n-- vs table rows (N=65536, C=24) --")
     for m in (1024, 12288, 32768, 101376):
         t = jnp.asarray(rng.rand(m, 24).astype(np.float32))

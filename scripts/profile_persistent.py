@@ -103,6 +103,7 @@ jax.block_until_ready(out)
 dt = (time.time() - t0) / reps
 rays = float(tr) + float(sh)
 visits = float(dbg["visits"]); lane_steps = float(dbg["lane_steps"])
+ctx_steps = float(dbg["ctx_steps"])
 print(json.dumps({
     "ms": round(dt * 1e3, 1),
     "bodies": int(dbg["bodies"]),
@@ -110,6 +111,11 @@ print(json.dumps({
     "visits": visits,
     "lane_steps": lane_steps,
     "utilization": round(visits / lane_steps, 4),
+    # Idle split (VERDICT r3 #5): fraction of context-steps spent
+    # DONE (intra-stage drain -- the spill ladder's residual) vs
+    # READY/REFILL/TEXG (waiting for a shade tick / texture service).
+    "idle_done_frac": round(float(dbg["ctx_done"]) / ctx_steps, 4),
+    "idle_wait_frac": round(float(dbg["ctx_wait"]) / ctx_steps, 4),
     "rays": rays,
     "visits_per_ray": round(visits / rays, 2),
     "compile_s": round(compile_s, 1),

@@ -277,7 +277,7 @@ def multi_links(bvh, children, width):
 
 
 def multi_walk(bvh, tris, cnt, k, o, d, t_cap, width, anyhit=False,
-               skip_regs=0):
+               skip_regs=0, collapse="count"):
     """Stackless W-ary collapsed-row walk (pair_walk generalized).
 
     At a collapsed row X: test all child boxes, jump to the first hit
@@ -293,7 +293,7 @@ def multi_walk(bvh, tris, cnt, k, o, d, t_cap, width, anyhit=False,
     oct_ = ((d[:, 0] < 0).astype(np.int32)
             | ((d[:, 1] < 0).astype(np.int32) << 1)
             | ((d[:, 2] < 0).astype(np.int32) << 2))
-    children = collapse_bvh(bvh, width)
+    children = collapse_bvh(bvh, width, criterion=collapse)
     slots, _, conts = multi_links(bvh, children, width)
     is_leaf = bvh.leaf_prim >= 0
     is_coll = np.zeros(m, bool)
@@ -480,6 +480,17 @@ def run_scene(name, leaf=8, c_isect=0.4):
                 if sr == 0:
                     results[pop][f"w{width}floor"] = float(
                         (gw - ww).mean() / g1.mean())
+        # SAH-aware collapse A/B (round 4): same W=4 walk, expansion
+        # by child surface area instead of subtree primitive count.
+        for sr in (2, 3):
+            gw, tw, ocw, _ = multi_walk(bvh, tris, cnt, k, o, d, cap, 4,
+                                        anyhit, skip_regs=sr,
+                                        collapse="sa")
+            if anyhit:
+                assert (oc1 == ocw).all(), "sa-collapse occl mismatch"
+            else:
+                np.testing.assert_array_equal(t1, tw)
+            results[pop][f"w4s{sr}_sa"] = float(gw.mean() / g1.mean())
     # Weighted by the headline mix: 61% surface (primary+bounce), 39%
     # shadow (BENCH_r01: 241.6M path / 156.3M NEE).
     surf = 0.5 * (results["primary"]["classic"] + results["bounce"]["classic"])

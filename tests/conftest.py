@@ -48,13 +48,25 @@ FAST_FILES = {
     "test_leaf_isect.py", "test_golden.py", "test_walk_inv.py",
 }
 
+# Host-only tier (`pytest -m hostonly`): the fast tier minus the
+# engine/walk compiles, so it survives a COLD compile cache on a
+# 1-core host (~150 s measured; the three excluded files are the
+# multi-minute cold-cache tail).  This is the always-green loop;
+# `-m fast` adds the tiny-compile goldens once the cache is warm.
+HOSTONLY_EXCLUDE = {
+    "test_golden.py", "test_traverse.py", "test_leaf_isect.py",
+}
+
 
 def pytest_collection_modifyitems(config, items):
     import pytest
 
     for item in items:
-        if os.path.basename(str(item.fspath)) in FAST_FILES:
+        base = os.path.basename(str(item.fspath))
+        if base in FAST_FILES:
             item.add_marker(pytest.mark.fast)
+            if base not in HOSTONLY_EXCLUDE:
+                item.add_marker(pytest.mark.hostonly)
 
 
 # XLA:CPU segfaults (inside backend_compile_and_load) once a single

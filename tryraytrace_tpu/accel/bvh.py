@@ -1014,26 +1014,46 @@ def quad_row_width(leaf_size: int, leaf_fmt: str = "mt") -> int:
                                LEAF_STRIDE[leaf_fmt] * leaf_size)
 
 
-def collapse_bvh(bvh: LinearBVH, width: int = QUAD_WIDTH) -> dict:
+def collapse_bvh(bvh: LinearBVH, width: int = QUAD_WIDTH,
+                 criterion: str = "count") -> dict:
     """Collapse the binary BVH into a ``width``-ary tree.
 
     Returns {binary root id: [child binary ids]} for every collapsed
     node; children are original binary node ids (internal children
     become collapsed roots themselves, leaf children stay leaves).
-    Expansion is greedy by subtree primitive count (the heavy subtree
-    is the one worth splitting finer at the row).  The criterion is
-    TOPOLOGY-ONLY on purpose: a bounds refit (refit_bvh) must produce
-    the identical collapse so the packed table keeps its shape and
-    the engine's compiled program is reused."""
+
+    ``criterion`` picks which internal child each greedy expansion
+    step splits into the row's remaining slots:
+
+    * ``"count"`` -- subtree primitive count (the heavy subtree is
+      the one worth splitting finer).  TOPOLOGY-ONLY on purpose: a
+      bounds refit (refit_bvh) produces the identical collapse so the
+      packed table keeps its shape and the engine's compiled program
+      is reused.
+    * ``"sa"`` -- child surface area.  A ray that fetched X's row
+      enters child c with probability ~SA(c)/SA(X) (the SAH measure),
+      and expanding c saves exactly that expected row fetch, so
+      greedy-by-SA maximizes expected fetches removed per slot spent.
+      NOT refit-stable: a refit that changes bounds can change the
+      collapse (and thus the table shape -> one recompile); animated
+      scenes should keep "count".
+    """
     is_leaf = bvh.leaf_prim >= 0
     m = bvh.num_nodes
-    # Subtree primitive counts, children-before-parents (the linear
-    # layout stores children after their parent, so a reverse sweep
-    # has both child counts ready).
-    prims = np.where(is_leaf, bvh.leaf_count, 0).astype(np.int64)
-    for x in range(m - 1, -1, -1):
-        if not is_leaf[x]:
-            prims[x] = prims[bvh.left[x]] + prims[bvh.right[x]]
+    if criterion == "count":
+        # Subtree primitive counts, children-before-parents (the linear
+        # layout stores children after their parent, so a reverse sweep
+        # has both child counts ready).
+        key = np.where(is_leaf, bvh.leaf_count, 0).astype(np.int64)
+        for x in range(m - 1, -1, -1):
+            if not is_leaf[x]:
+                key[x] = key[bvh.left[x]] + key[bvh.right[x]]
+    elif criterion == "sa":
+        d = np.maximum(bvh.bounds[:, 3:] - bvh.bounds[:, :3], 0.0)
+        key = (d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2]
+               + d[:, 2] * d[:, 0]).astype(np.float64)
+    else:
+        raise ValueError(f"unknown collapse criterion {criterion!r}")
     children: dict[int, list[int]] = {}
     todo = [0]
     while todo:
@@ -1045,7 +1065,7 @@ def collapse_bvh(bvh: LinearBVH, width: int = QUAD_WIDTH) -> dict:
             cands = [i for i, c in enumerate(out) if not is_leaf[c]]
             if not cands:
                 break
-            i = max(cands, key=lambda i: (prims[out[i]], -out[i]))
+            i = max(cands, key=lambda i: (key[out[i]], -out[i]))
             c = out.pop(i)
             out[i:i] = [int(bvh.left[c]), int(bvh.right[c])]
         children[x] = out
@@ -1056,7 +1076,8 @@ def collapse_bvh(bvh: LinearBVH, width: int = QUAD_WIDTH) -> dict:
 def pack_quad_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
                     v2: np.ndarray,
                     leaf_size: int | None = None,
-                    leaf_fmt: str = "mt") -> np.ndarray:
+                    leaf_fmt: str = "mt",
+                    collapse: str = "count") -> np.ndarray:
     m = bvh.num_nodes
     k = int(leaf_size if leaf_size is not None
             else max(1, bvh.leaf_count.max() if m else 1))
@@ -1068,7 +1089,7 @@ def pack_quad_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
         raise ValueError(
             f"leaf_size {k} < max leaf count {bvh.leaf_count.max()}")
     is_leaf = bvh.leaf_prim >= 0
-    children = collapse_bvh(bvh)
+    children = collapse_bvh(bvh, criterion=collapse)
     # Compact row ids: collapsed roots + binary leaves, in binary-id
     # order (the binary root is node 0, so its row is 0).  Absorbed
     # binary internals have no row.
@@ -1136,6 +1157,117 @@ def pack_quad_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
         table[rowid[x], QUAD_COL_BODY:QUAD_COL_BODY + st * cnt] = (
             tri_cat[start:start + cnt].reshape(-1))
     return table
+
+
+def pack_quad_oct_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
+                        v2: np.ndarray,
+                        leaf_size: int | None = None,
+                        leaf_fmt: str = "mt",
+                        collapse: str = "count"
+                        ) -> tuple[np.ndarray, int]:
+    """Octant-baked quad table: same walk as pack_quad_table, but each
+    collapsed INTERNAL node gets eight rows -- one per ray octant --
+    with its child boxes and entry links already sorted front-to-back
+    for that octant and its continuation resolved.  The decode then
+    needs no permutation mux at all (the round-3 cost decomposition
+    put the quad decode's select network at 1.81 ns/lane-step, the
+    largest exposed non-gather bucket); leaf rows stay shared (their
+    wide triangle bodies dominate the bytes) and keep per-octant
+    continuation columns behind the same single 8-way mux internal
+    rows reuse.
+
+    Layout ([8*Ri + Rl, W] float32, returns (table, Ri)):
+      rows [o*Ri, (o+1)*Ri): internal replicas for octant o (root at
+        o*Ri -- the walk maps a fresh ``cur == 0`` to its lane's
+        octant root); rows [8*Ri, 8*Ri+Rl): shared leaf rows.
+      col 0: prim_start (-1 for internal), col 1: prim_count
+      cols 2:10: per-octant continuation row id (plain f32; internal
+        replicas store their own octant's cont in all 8 so the mux is
+        uniform)
+      internal body (cols 10:39): 4 child boxes in octant order;
+        4 child entry row ids in octant order; nslots
+      leaf body: cols 10:10+st*K inline triangles
+    """
+    m = bvh.num_nodes
+    k = int(leaf_size if leaf_size is not None
+            else max(1, bvh.leaf_count.max() if m else 1))
+    st = LEAF_STRIDE[leaf_fmt]
+    w = quad_row_width(k, leaf_fmt)
+    if m == 0:
+        return np.zeros((0, w), np.float32), 0
+    if bvh.leaf_count.max() > k:
+        raise ValueError(
+            f"leaf_size {k} < max leaf count {bvh.leaf_count.max()}")
+    is_leaf = bvh.leaf_prim >= 0
+    children = collapse_bvh(bvh, criterion=collapse)
+    internals = sorted(children.keys())
+    leaves = np.nonzero(is_leaf)[0].tolist()
+    ri = len(internals)
+    rl = len(leaves)
+    nrows = 8 * ri + rl
+    iidx = {b: i for i, b in enumerate(internals)}
+    lidx = {b: 8 * ri + i for i, b in enumerate(leaves)}
+
+    def row_of(b: int, octant: int) -> int:
+        return (octant * ri + iidx[b]) if b in iidx else lidx[b]
+
+    table = np.zeros((nrows, w), np.float32)
+    # Leaf headers + triangle bodies (shared rows).
+    tri_cat = leaf_slot_rows(v0, v1, v2, leaf_fmt)
+    for x in leaves:
+        r = lidx[x]
+        table[r, 0] = float(bvh.leaf_prim[x])
+        table[r, 1] = float(bvh.leaf_count[x])
+        cnt = int(bvh.leaf_count[x])
+        if cnt:
+            start = int(bvh.leaf_prim[x])
+            table[r, QUAD_COL_BODY:QUAD_COL_BODY + st * cnt] = (
+                tri_cat[start:start + cnt].reshape(-1))
+    table[:8 * ri, 0] = -1.0
+
+    b0 = QUAD_COL_BODY
+    cent = 0.5 * (bvh.bounds[:, :3] + bvh.bounds[:, 3:])
+    for ob in range(NUM_OCTANTS):
+        sign = np.array([1 - 2 * ((ob >> a) & 1) for a in range(3)],
+                        np.float32)
+        stack = [(0, nrows)]
+        while stack:
+            x, cont = stack.pop()
+            if x not in children:
+                table[lidx[x], QUAD_COL_CONT + ob] = cont
+                continue
+            r = ob * ri + iidx[x]
+            table[r, QUAD_COL_CONT:QUAD_COL_CONT + 8] = cont
+            kids = children[x]
+            key = (cent[kids] * sign).sum(-1)
+            order = np.argsort(key, kind="stable")
+            ns = len(kids)
+            table[r, b0 + QB_NSLOTS] = ns
+            for pos in range(QUAD_WIDTH):
+                if pos < ns:
+                    c = kids[int(order[pos])]
+                    table[r, b0 + QB_BOX + 6 * pos:
+                          b0 + QB_BOX + 6 * pos + 6] = bvh.bounds[c]
+                    table[r, b0 + QB_ENT + pos] = row_of(c, ob)
+                    nxt = (row_of(kids[int(order[pos + 1])], ob)
+                           if pos + 1 < ns else cont)
+                    stack.append((int(c), int(nxt)))
+                else:
+                    # Pad slot.  The inverted box ALWAYS hits under
+                    # the swapping slab test (aabb_hit takes min/max
+                    # per axis, so lo=+1e30/hi=-1e30 spans the whole
+                    # line) -- that is fine because its entry is the
+                    # row's own continuation: a spurious pad "hit"
+                    # selects exactly the fall-through target, and
+                    # register pushes mask pads by nslots.  This keeps
+                    # the decode free of an explicit nslots hit mask
+                    # (the whole point of the octant layout).
+                    table[r, b0 + QB_BOX + 6 * pos:
+                          b0 + QB_BOX + 6 * pos + 3] = 1e30
+                    table[r, b0 + QB_BOX + 6 * pos + 3:
+                          b0 + QB_BOX + 6 * pos + 6] = -1e30
+                    table[r, b0 + QB_ENT + pos] = cont
+    return table, ri
 
 
 # Packed hit-data row layout (float32[37]): everything shading needs

@@ -18,7 +18,8 @@ from tryraytrace_tpu.scene.cornell import create_cornell_box
 from tryraytrace_tpu.scene.model import Object, Scene, flatten_scene
 from tryraytrace_tpu.scene.objloader import load_obj
 
-CONFIGS = ("cube256", "teapot512", "cow800", "teddy1024", "flythrough1080")
+CONFIGS = ("cube256", "teapot512", "cow800", "teddy1024",
+           "flythrough1080", "interactive")
 
 
 def _cornell_with(meshes: list[tuple[str, float, tuple]],
@@ -61,6 +62,15 @@ def build_config(name: str):
         ])
         return flatten_scene(scene, textures=[checker_texture(128)]), \
             1024, 1024, 64, False
+    if name == "interactive":
+        # The reference's implied dev operating point: 1200x800 window,
+        # 1 spp per frame, progressive accumulation with drop-frame
+        # display (/root/reference/src/main.cpp:49-50,181).  Scene =
+        # the default Cornell+teapot the reference opens with
+        # (scene.cpp:24-123).
+        scene = _cornell_with([("teapot.obj", 10.0, (50.0, 10.0, 50.0))])
+        return flatten_scene(scene, textures=[checker_texture(256)]), \
+            1200, 800, 1, False
     if name == "flythrough1080":
         scene = _cornell_with([
             ("teapot.obj", 10.0, (50.0, 10.0, 50.0)),
@@ -127,6 +137,7 @@ def run_config(name: str, frames: int = 2, engine: str | None = None,
         config=name, width=w, height=h, spp=spp,
         tris=arrays.num_objects,
         ms_per_frame=round(dt * 1e3, 2),
+        fps=round(1.0 / dt, 2),
         rays_per_frame=rays,
         mrays_per_s=round(rays / dt / 1e6, 3),
         engine=cfg.engine,

@@ -180,6 +180,31 @@ class RenderConfig:
     # order-independent.  Default 2 (the round-2 tuning); the 1-pass
     # A/B rides the round-3 measurement queue.
     quad_redirect_passes: int = 2
+    # Depth of the quad walk's skip-register file (per-lane known-miss
+    # (entry -> successor) slots, ops/traverse._regfile_apply).  Fewer
+    # registers cut the per-step shift-push/redirect select network
+    # ~linearly at the cost of more containment-absorbed visits
+    # (identical images: visit order/count changes only); 0 drops the
+    # file AND the push computation entirely (~55 selects/step).
+    # Default 3 (the round-2 sim pick); the 0/2-register A/Bs ride
+    # the round-4 measurement queue.
+    quad_regs: int = 3
+    # Quad-table layout: "mux" = shared rows, per-octant packed
+    # cont*256+perm columns decoded by a select network; "octant" =
+    # internal rows replicated once per ray octant with pre-permuted
+    # slots (accel/bvh.pack_quad_oct_table), dropping the permutation
+    # muxes from the step at ~3x the internal-row bytes; None = auto
+    # (octant only while quad rows + inline trimat rows fit the ~3 MB
+    # gather knee).  Identical images (same walk, same visit order).
+    quad_layout: str | None = "mux"
+    # Quad-table collapse criterion (accel/bvh.collapse_bvh): "count"
+    # expands the child with the most subtree primitives and is
+    # topology-only (refit-stable -- animated scenes keep their
+    # compiled program); "sa" expands the child with the largest
+    # surface area, which maximizes the expected row fetches removed
+    # per slot (P(enter c | fetched X) ~ SA(c)/SA(X)) but can change
+    # the table shape after a refit (one recompile).
+    quad_collapse: str = "count"
     # Traversal steps executed per while-loop iteration in the
     # persistent engine.  Measured on v5e, a loop iteration containing
     # gathers pays a ~0.27 ms fixed cost once regardless of how many

@@ -21,6 +21,7 @@ from tryraytrace_tpu.accel.bvh import (
     build_bvh,
     pack_fatnode_table,
     pack_pair_table,
+    pack_quad_oct_table,
     pack_quad_table,
     pack_traversal_table,
     pack_trimat_table,
@@ -73,6 +74,22 @@ class DeviceScene:
     # the same precomputed rows for bit-comparability.
     leaf_fmt: str = dataclasses.field(metadata=dict(static=True),
                                       default="mt")
+    # Static: quad-table collapse criterion ("count" topology-only /
+    # "sa" surface-area greedy, accel/bvh.collapse_bvh) -- recorded so
+    # refit_scene repacks with the same criterion.
+    quad_collapse: str = dataclasses.field(metadata=dict(static=True),
+                                           default="count")
+    # Static: quad-table layout -- "mux" (shared rows + per-octant
+    # packed cont*256+perm columns) or "octant" (internal rows
+    # replicated once per ray octant with pre-permuted slots,
+    # pack_quad_oct_table; drops the decode's permutation mux network
+    # at ~3x the internal-row bytes).
+    quad_layout: str = dataclasses.field(metadata=dict(static=True),
+                                         default="mux")
+    # Static: internal-replica stride of the octant layout (row of
+    # octant o's root = o * stride); 0 under "mux".
+    quad_oct_stride: int = dataclasses.field(metadata=dict(static=True),
+                                             default=0)
     # Tree depth (static): sizes the fat-node register stack exactly --
     # stack traffic scales with depth, so tighter is faster.
     tree_depth: int = dataclasses.field(metadata=dict(static=True),
@@ -158,7 +175,9 @@ def auto_shade_every(bvh: LinearBVH, arrays: SceneArrays,
 def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
                  device_put=True, leaf_size: int = 8,
                  method: str = "sah", traversal: str = "quad",
-                 c_isect: float = 0.4, leaf_fmt: str = "mt"
+                 c_isect: float = 0.4, leaf_fmt: str = "mt",
+                 quad_collapse: str = "count",
+                 quad_layout: str | None = "mux"
                  ) -> tuple[DeviceScene, tuple, LinearBVH]:
     """Build the BVH (reordering primitives, main.cpp:82-86 contract),
     then assemble the device pytree.
@@ -189,6 +208,31 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
         light_idx = np.zeros(1, dtype=np.int32)
 
     put = jax.device_put if device_put else (lambda x: x)
+    # Quad-table layout: "octant" drops the decode's permutation mux
+    # network (pack_quad_oct_table) at ~3x the internal-row bytes;
+    # None = auto: octant only while the total in-loop gather table
+    # (quad rows + the inline trimat rows packed 2/row) stays under
+    # the measured ~3 MB knee (docs/PERFORMANCE.md section 1).
+    q_table = np.zeros((0, 47), np.float32)
+    q_stride = 0
+    q_layout = "mux"
+    if traversal == "quad":
+        if quad_layout in (None, "octant"):
+            oct_tab, q_stride = pack_quad_oct_table(
+                bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
+                leaf_size=leaf_size, leaf_fmt=leaf_fmt,
+                collapse=quad_collapse)
+            trimat_bytes = ((arrays.tri_v0.shape[0] + 1) // 2
+                            * oct_tab.shape[1] * 4 if oct_tab.size else 0)
+            if quad_layout == "octant" or (
+                    oct_tab.nbytes + trimat_bytes <= 3.0e6):
+                q_table, q_layout = oct_tab, "octant"
+        if q_layout != "octant":
+            q_stride = 0
+            q_table = pack_quad_table(
+                bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
+                leaf_size=leaf_size, leaf_fmt=leaf_fmt,
+                collapse=quad_collapse)
     dev = DeviceScene(
         tri_v0=put(ordered.tri_v0),
         tri_v1=put(ordered.tri_v1),
@@ -227,14 +271,14 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
             bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
             leaf_size=leaf_size, leaf_fmt=leaf_fmt)
             if traversal == "pair" else np.zeros((0, 25), np.float32)),
-        quad_table=put(pack_quad_table(
-            bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
-            leaf_size=leaf_size, leaf_fmt=leaf_fmt)
-            if traversal == "quad" else np.zeros((0, 47), np.float32)),
+        quad_table=put(q_table),
         trimat=put(pack_trimat_table(ordered)),
         num_lights=n_lights,
         leaf_size=leaf_size,
         leaf_fmt=leaf_fmt,
+        quad_collapse=quad_collapse,
+        quad_layout=q_layout,
+        quad_oct_stride=q_stride,
         tree_depth=max(1, bvh.max_depth()),
     )
     textures = tuple(put(t) for t in ordered.textures)
@@ -284,9 +328,16 @@ def refit_scene(dev: DeviceScene, bvh: LinearBVH, arrays: SceneArrays,
             leaf_size=leaf_size, leaf_fmt=leaf_fmt))
         if int(dev.pair_table.shape[0])
         else dev.pair_table,
-        quad_table=put(pack_quad_table(
-            new_bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
-            leaf_size=leaf_size, leaf_fmt=leaf_fmt))
+        quad_table=put(
+            pack_quad_oct_table(
+                new_bvh, ordered.tri_v0, ordered.tri_v1,
+                ordered.tri_v2, leaf_size=leaf_size, leaf_fmt=leaf_fmt,
+                collapse=dev.quad_collapse)[0]
+            if dev.quad_layout == "octant"
+            else pack_quad_table(
+                new_bvh, ordered.tri_v0, ordered.tri_v1,
+                ordered.tri_v2, leaf_size=leaf_size, leaf_fmt=leaf_fmt,
+                collapse=dev.quad_collapse))
         if int(dev.quad_table.shape[0])
         else dev.quad_table,
         trimat=put(pack_trimat_table(ordered)),

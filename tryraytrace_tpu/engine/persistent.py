@@ -68,12 +68,12 @@ from tryraytrace_tpu.ops.traverse import (
     MISS_T,
     PAIR_COL_BODY,
     QUAD_COL_BODY,
-    QUAD_REGS,
     _decode_links,
     _fat_leaf_intersect,
     _leaf_intersect,
     _pair_decode,
     _quad_decode,
+    _quad_decode_oct,
     _regfile_apply,
     fatnode_step,
     ray_octant,
@@ -277,11 +277,14 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
             # context so dual-walk muxes it with the rest.
             extra["reg_e"] = jnp.full((w,), -1, jnp.int32)
             extra["reg_s"] = jnp.full((w,), -1, jnp.int32)
-        if quad:
-            # 3-slot skip-register file, per walk context (the dual
-            # mux broadcasts over the trailing register axis).
-            extra["reg_e"] = jnp.full((w, QUAD_REGS), -1, jnp.int32)
-            extra["reg_s"] = jnp.full((w, QUAD_REGS), -1, jnp.int32)
+        if quad and cfg.quad_regs > 0:
+            # Skip-register file (cfg.quad_regs slots, default 3), per
+            # walk context (the dual mux broadcasts over the trailing
+            # register axis).  quad_regs=0 drops the file entirely:
+            # containment absorbs every known-missed entry instead
+            # (more visits, ~55 fewer selects per step).
+            extra["reg_e"] = jnp.full((w, cfg.quad_regs), -1, jnp.int32)
+            extra["reg_s"] = jnp.full((w, cfg.quad_regs), -1, jnp.int32)
         if inline_ctx is not None and inline_ctx["tex"] is not None:
             # TEXG material stash (albedo, metallic, roughness, ior,
             # transmission, fx, fy, front-face bit); nl/nl_off/emission
@@ -392,7 +395,10 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     step_fn = (_step_fat if fat else _step_pair if pair
                else functools.partial(
                    _step_quad,
-                   redirect_passes=max(1, cfg.quad_redirect_passes))
+                   redirect_passes=max(1, cfg.quad_redirect_passes),
+                   oct_stride=(scene.quad_oct_stride
+                               if scene.quad_layout == "octant"
+                               else None))
                if quad else _step)
 
     def lane_done(s):
@@ -857,7 +863,8 @@ def _step_pair(s, table, sentinel, k: int, col_ps: int, inline=None,
 
 def _step_quad(s, table, sentinel, k: int, col_ps: int, inline=None,
                service: bool = True, fmt: str = "mt",
-               redirect_passes: int = 2):
+               redirect_passes: int = 2,
+               oct_stride: int | None = None):
     """One quad-row traversal step (accel/bvh.py pack_quad_table) for
     TRAVERSE and SHADOW lanes, sharing the single row gather; with
     ``inline`` the same slot serves SHADEG/TEXG exactly like _step.
@@ -869,16 +876,33 @@ def _step_quad(s, table, sentinel, k: int, col_ps: int, inline=None,
     (scripts/sim_pair_walk.py multi_walk: 0.52-0.64x the threaded
     walk's gathers).  A lane at cur == 0 is starting a fresh walk, so
     its register file resets first (no link ever re-enters the root).
+
+    ``oct_stride`` (not None): octant-baked table layout
+    (pack_quad_oct_table) -- a fresh walk enters its lane's octant
+    root row and the decode reads pre-permuted slots, dropping the
+    permutation mux network from the step program.
     """
     live_t = s["mode"] == TRAVERSE
     live_s = s["mode"] == SHADOW
     stepping = live_t | live_s
 
-    fresh = ((s["cur"] == 0) & stepping)[..., None]
-    reg_e = jnp.where(fresh, -1, s["reg_e"])
-    reg_s = jnp.where(fresh, -1, s["reg_s"])
+    use_regs = "reg_e" in s  # cfg.quad_regs == 0 drops the file
+    if use_regs:
+        fresh = ((s["cur"] == 0) & stepping)[..., None]
+        reg_e = jnp.where(fresh, -1, s["reg_e"])
+        reg_s = jnp.where(fresh, -1, s["reg_s"])
 
-    idx = jnp.where(stepping, jnp.minimum(s["cur"], sentinel - 1), 0)
+    ls3 = live_s[..., None]
+    ro = jnp.where(ls3, s["so"], s["o"])
+    rd = jnp.where(ls3, s["sd"], s["d"])
+    inv = _walk_inv(ls3, rd)
+    t_min = jnp.where(live_s, jnp.float32(1e-3), jnp.float32(0.0))
+    octant = ray_octant(rd)
+
+    cur = s["cur"]
+    if oct_stride is not None and oct_stride > 0:
+        cur = jnp.where(cur == 0, octant * oct_stride, cur)
+    idx = jnp.where(stepping, jnp.minimum(cur, sentinel - 1), 0)
     service = service and inline is not None
     tex_ctx = inline.get("tex") if service else None
     live_g = live_x = None
@@ -886,12 +910,6 @@ def _step_quad(s, table, sentinel, k: int, col_ps: int, inline=None,
         idx, live_g, live_x = _service_select(s, idx, sentinel, inline,
                                               tex_ctx)
     row = table[idx]
-
-    ls3 = live_s[..., None]
-    ro = jnp.where(ls3, s["so"], s["o"])
-    rd = jnp.where(ls3, s["sd"], s["d"])
-    inv = _walk_inv(ls3, rd)
-    t_min = jnp.where(live_s, jnp.float32(1e-3), jnp.float32(0.0))
 
     prim_start = row[:, 0].astype(jnp.int32)
     prim_count = row[:, 1].astype(jnp.int32)
@@ -908,13 +926,15 @@ def _step_quad(s, table, sentinel, k: int, col_ps: int, inline=None,
     occluded = found & live_s
 
     t_max = jnp.where(live_s, s["smax"], d_min)
-    octant = ray_octant(rd)
-    cont, nxt_int, pushes = _quad_decode(row, octant, ro, inv,
-                                         t_min, t_max)
+    decode = _quad_decode if oct_stride is None else _quad_decode_oct
+    cont, nxt_int, pushes = decode(row, octant, ro, inv,
+                                   t_min, t_max)
     nxt = jnp.where(is_leaf, cont, nxt_int)
-    reg_e, reg_s, nxt = _regfile_apply(reg_e, reg_s, pushes, nxt,
-                                       stepping, ~is_leaf & stepping,
-                                       passes=redirect_passes)
+    if use_regs:
+        reg_e, reg_s, nxt = _regfile_apply(reg_e, reg_s, pushes, nxt,
+                                           stepping,
+                                           ~is_leaf & stepping,
+                                           passes=redirect_passes)
     cur = jnp.where(stepping, nxt, s["cur"])
 
     # Transitions (identical to _step/_step_pair).
@@ -937,8 +957,9 @@ def _step_quad(s, table, sentinel, k: int, col_ps: int, inline=None,
     hit_id = jnp.where(s_done, -1, hit_id)
 
     out = dict(s)
-    out.update(mode=mode, cur=cur, d_min=d_min, hit_id=hit_id, rad=rad,
-               reg_e=reg_e, reg_s=reg_s)
+    out.update(mode=mode, cur=cur, d_min=d_min, hit_id=hit_id, rad=rad)
+    if use_regs:
+        out.update(reg_e=reg_e, reg_s=reg_s)
     if service:
         out = _service_shade(out, s, row, live_g, live_x, inline,
                              tex_ctx)

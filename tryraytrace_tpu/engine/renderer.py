@@ -75,7 +75,9 @@ class Renderer:
         self.scene, self.textures, self.bvh = upload_scene(
             arrays, leaf_size=self.cfg.bvh_leaf_size,
             method=self.cfg.bvh_method, traversal=self.cfg.traversal,
-            leaf_fmt=self.cfg.leaf_isect)
+            leaf_fmt=self.cfg.leaf_isect,
+            quad_collapse=self.cfg.quad_collapse,
+            quad_layout=self.cfg.quad_layout)
         if self.cfg.shade_every < 1:
             from tryraytrace_tpu.config import inline_resolved
             from tryraytrace_tpu.engine.device_scene import auto_shade_every

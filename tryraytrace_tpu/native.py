@@ -36,7 +36,21 @@ def _load():
     _TRIED = True
     path = os.environ.get("TRT_NATIVE_LIB", _lib_path())
     if not os.path.exists(path):
-        return None
+        # Auto-build on first use (a ~5 s `make -C csrc`): a fresh
+        # checkout must not silently run every loader/tonemap call on
+        # the Python fallback nor skip the native-parity tests.
+        # TRT_NATIVE_NO_BUILD=1 opts out (e.g. no toolchain).
+        if (os.environ.get("TRT_NATIVE_NO_BUILD")
+                or not os.path.exists(
+                    os.path.join(os.path.dirname(path), "Makefile"))):
+            return None
+        try:
+            subprocess.run(["make", "-C", os.path.dirname(path)],
+                           check=True, capture_output=True, timeout=120)
+        except (subprocess.SubprocessError, OSError):
+            return None
+        if not os.path.exists(path):
+            return None
     try:
         lib = ctypes.CDLL(path)
         _configure(lib)

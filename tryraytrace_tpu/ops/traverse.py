@@ -464,6 +464,45 @@ def _quad_decode(row, octant, r_o, inv_d, t_min, t_max):
     return cont, nxt_int, pushes
 
 
+def _quad_decode_oct(row, octant, r_o, inv_d, t_min, t_max):
+    """Internal-row decode for the octant-baked quad layout
+    (accel/bvh.py pack_quad_oct_table): boxes and entry links are
+    already stored in this octant's front-to-back order, so the
+    permutation mux network of _quad_decode (extract 2-bit slots +
+    eight 4-way muxes, the round-3 decomposition's largest exposed
+    non-gather bucket) disappears entirely.  Only the continuation
+    keeps the 8-way mux -- leaf rows are octant-shared and internal
+    replicas store their own cont in all 8 columns so the same mux
+    serves both.  Same (cont, nxt_int, pushes) contract as
+    _quad_decode."""
+    cont = _mux8(octant,
+                 [row[:, QUAD_COL_CONT + o] for o in range(8)]
+                 ).astype(jnp.int32)
+    b = QUAD_COL_BODY
+    nsl = jnp.clip(row[:, b + QB_NSLOTS], 0, 4).astype(jnp.int32)
+    # Pad slots always "hit" (inverted boxes span the whole line under
+    # the swapping slab test) but their entry IS the row continuation
+    # (pack_quad_oct_table), so selecting them is the fall-through --
+    # no explicit nsl mask needed on the hit tests.
+    hit_p = [aabb_hit(row[:, b + 6 * pos:b + 6 * pos + 6], r_o, inv_d,
+                      t_min, t_max) for pos in range(4)]
+    ent_p = [row[:, b + QB_ENT + pos].astype(jnp.int32)
+             for pos in range(4)]
+    nxt_int = cont
+    for pos in range(3, -1, -1):
+        nxt_int = jnp.where(hit_p[pos], ent_p[pos], nxt_int)
+    pushes = []
+    prefix = hit_p[0]
+    for pos in range(1, 4):
+        valid = pos < nsl   # pad entries must not enter the registers
+        succ = (jnp.where(pos + 1 < nsl, ent_p[pos + 1], cont)
+                if pos < 3 else cont)
+        pushes.append((prefix & ~hit_p[pos] & valid, ent_p[pos], succ))
+        prefix = prefix | hit_p[pos]
+    pushes.reverse()  # push farthest first so nearest lands at slot 0
+    return cont, nxt_int, pushes
+
+
 def _regfile_apply(reg_e, reg_s, pushes, nxt, live, gate,
                    passes: int = 2):
     """Advance the skip-register file: shift-push each (push, target,
@@ -491,13 +530,22 @@ def _regfile_apply(reg_e, reg_s, pushes, nxt, live, gate,
 
 
 def quad_step(table, k: int, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
-              t_min, t_max, tlo, thi, live, fmt: str = "mt"):
+              t_min, t_max, tlo, thi, live, fmt: str = "mt",
+              oct_stride: int | None = None):
     """One quad-row step shared by the closest/any-hit walks: gathers
     each live lane's current row, MT-tests leaf rows, first-hit-
     branches internal rows, and advances the 3-slot skip-register
-    file.  Returns (cur', reg_e', reg_s', leaf_t, leaf_id)."""
+    file.  Returns (cur', reg_e', reg_s', leaf_t, leaf_id).
+
+    ``oct_stride`` (not None = the octant-baked layout,
+    pack_quad_oct_table): a fresh walk at cur == 0 gathers its lane's
+    octant root row (octant * stride) and the decode reads
+    pre-permuted slots."""
     sentinel = table.shape[0]
-    idx = jnp.where(live, jnp.minimum(cur, sentinel - 1), 0)
+    cur_m = cur
+    if oct_stride is not None and oct_stride > 0:
+        cur_m = jnp.where(cur == 0, octant * oct_stride, cur)
+    idx = jnp.where(live, jnp.minimum(cur_m, sentinel - 1), 0)
     row = table[idx]
     prim_start = row[:, 0].astype(jnp.int32)
     prim_count = row[:, 1].astype(jnp.int32)
@@ -508,8 +556,9 @@ def quad_step(table, k: int, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
                                   base0=QUAD_COL_BODY, fmt=fmt)
     lid = jnp.where(live & is_leaf, lid, -1)
 
-    cont, nxt_int, pushes = _quad_decode(row, octant, r_o, inv_d,
-                                         t_min, t_max)
+    decode = _quad_decode if oct_stride is None else _quad_decode_oct
+    cont, nxt_int, pushes = decode(row, octant, r_o, inv_d,
+                                   t_min, t_max)
     nxt = jnp.where(is_leaf, cont, nxt_int)
     reg_e, reg_s, nxt = _regfile_apply(reg_e, reg_s, pushes, nxt, live,
                                        ~is_leaf & live)
@@ -517,7 +566,8 @@ def quad_step(table, k: int, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
     return cur, reg_e, reg_s, lt, lid
 
 
-def closest_hit_quad(table, k: int, r_o, r_d, active, fmt: str = "mt"):
+def closest_hit_quad(table, k: int, r_o, r_d, active, fmt: str = "mt",
+                     oct_stride: int | None = None):
     """Closest-hit via the quad walk; same results as closest_hit
     (closest-hit is order-independent)."""
     n = r_o.shape[0]
@@ -540,7 +590,7 @@ def closest_hit_quad(table, k: int, r_o, r_d, active, fmt: str = "mt"):
         cur, reg_e, reg_s, lt, lid = quad_step(
             table, k, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
             jnp.float32(0.0), d_min, jnp.float32(0.0), d_min, live,
-            fmt=fmt)
+            fmt=fmt, oct_stride=oct_stride)
         take = lid >= 0
         d_min = jnp.where(take, lt, d_min)
         hit_id = jnp.where(take, lid, hit_id)
@@ -550,7 +600,8 @@ def closest_hit_quad(table, k: int, r_o, r_d, active, fmt: str = "mt"):
     return d_min, hit_id
 
 
-def any_hit_quad(table, k: int, r_o, r_d, max_dist, active, fmt: str = "mt"):
+def any_hit_quad(table, k: int, r_o, r_d, max_dist, active, fmt: str = "mt",
+                 oct_stride: int | None = None):
     """Shadow traversal via the quad walk (trace_shadow parity: plain
     1/d, constant (1e-3, max_dist) window, early exit)."""
     n = r_o.shape[0]
@@ -572,7 +623,8 @@ def any_hit_quad(table, k: int, r_o, r_d, max_dist, active, fmt: str = "mt"):
         cur, reg_e, reg_s, _, lid = quad_step(
             table, k, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
             jnp.float32(1e-3), max_dist,
-            jnp.float32(1e-3), max_dist - 1e-3, live, fmt=fmt)
+            jnp.float32(1e-3), max_dist - 1e-3, live, fmt=fmt,
+            oct_stride=oct_stride)
         occ = occ | (lid >= 0)
         cur = jnp.where(occ, sentinel, cur)
         return cur, reg_e, reg_s, occ

@@ -121,7 +121,9 @@ class ShardedRenderer:
                                             leaf_size=cfg.bvh_leaf_size,
                                             method=cfg.bvh_method,
                                             traversal=cfg.traversal,
-                                            leaf_fmt=cfg.leaf_isect)
+                                            leaf_fmt=cfg.leaf_isect,
+                                            quad_collapse=cfg.quad_collapse,
+                                            quad_layout=cfg.quad_layout)
         if cfg.shade_every < 1:
             from tryraytrace_tpu.config import inline_resolved
             from tryraytrace_tpu.engine.device_scene import auto_shade_every
