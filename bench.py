@@ -162,9 +162,18 @@ def main() -> int:
     ap.add_argument("--scheduler", default=None, help="owner | pool | quota")
     ap.add_argument("--spill-stages", type=int, default=None,
                     help="compaction-ladder depth (config default: 8)")
+    ap.add_argument("--spill-floor", type=int, default=None,
+                    help="narrowest ladder width (config default: 64)")
+    ap.add_argument("--tail-unroll", type=int, default=None,
+                    help="unroll override for ladder stages running at "
+                    "<= 4096 lanes (config default: 0 = step_unroll)")
     ap.add_argument("--quad-regs", type=int, default=None,
                     help="quad-walk skip-register file depth "
                          "(config default: 3)")
+    ap.add_argument("--quad-select", default=None,
+                    help="first-entered-child decode: perm | rank | "
+                         "auto (config default: auto = rank iff "
+                         "--quad-regs 0)")
     ap.add_argument("--quad-collapse", default=None,
                     help="quad collapse criterion: count | sa "
                          "(config default: count)")
@@ -241,6 +250,10 @@ def main() -> int:
         cfg = cfg.replace(scheduler=args.scheduler)
     if args.spill_stages is not None:
         cfg = cfg.replace(spill_stages=args.spill_stages)
+    if args.spill_floor is not None:
+        cfg = cfg.replace(spill_floor=args.spill_floor)
+    if args.tail_unroll is not None:
+        cfg = cfg.replace(tail_unroll=args.tail_unroll)
     if args.redirect_passes is not None:
         cfg = cfg.replace(quad_redirect_passes=args.redirect_passes)
     if args.quad_regs is not None:
@@ -250,6 +263,11 @@ def main() -> int:
     if args.quad_layout is not None:
         cfg = cfg.replace(quad_layout=(None if args.quad_layout == "auto"
                                        else args.quad_layout))
+    if args.quad_select is not None:
+        cfg = cfg.replace(quad_select=(None if args.quad_select == "auto"
+                                       else args.quad_select))
+
+    from tryraytrace_tpu.config import quad_select_resolved
 
     t0 = time.time()
     scene, textures, bvh = upload_scene(arrays, leaf_size=cfg.bvh_leaf_size,
@@ -258,7 +276,8 @@ def main() -> int:
                                         c_isect=args.c_isect,
                                         leaf_fmt=cfg.leaf_isect,
                                         quad_collapse=cfg.quad_collapse,
-                                        quad_layout=cfg.quad_layout)
+                                        quad_layout=cfg.quad_layout,
+                                        quad_select=quad_select_resolved(cfg))
     if cfg.shade_every < 1:
         from tryraytrace_tpu.config import inline_resolved
         from tryraytrace_tpu.engine.device_scene import auto_shade_every

@@ -481,16 +481,19 @@ def run_scene(name, leaf=8, c_isect=0.4):
                     results[pop][f"w{width}floor"] = float(
                         (gw - ww).mean() / g1.mean())
         # SAH-aware collapse A/B (round 4): same W=4 walk, expansion
-        # by child surface area instead of subtree primitive count.
-        for sr in (2, 3):
-            gw, tw, ocw, _ = multi_walk(bvh, tris, cnt, k, o, d, cap, 4,
-                                        anyhit, skip_regs=sr,
-                                        collapse="sa")
-            if anyhit:
-                assert (oc1 == ocw).all(), "sa-collapse occl mismatch"
-            else:
-                np.testing.assert_array_equal(t1, tw)
-            results[pop][f"w4s{sr}_sa"] = float(gw.mean() / g1.mean())
+        # by child surface area ("sa", greedy) or the exact
+        # expected-fetch DP ("dp") instead of subtree primitive count.
+        for crit in ("sa", "dp"):
+            for sr in (2, 3):
+                gw, tw, ocw, _ = multi_walk(bvh, tris, cnt, k, o, d,
+                                            cap, 4, anyhit,
+                                            skip_regs=sr, collapse=crit)
+                if anyhit:
+                    assert (oc1 == ocw).all(), f"{crit}-collapse occl mismatch"
+                else:
+                    np.testing.assert_array_equal(t1, tw)
+                results[pop][f"w4s{sr}_{crit}"] = float(gw.mean()
+                                                        / g1.mean())
     # Weighted by the headline mix: 61% surface (primary+bounce), 39%
     # shadow (BENCH_r01: 241.6M path / 156.3M NEE).
     surf = 0.5 * (results["primary"]["classic"] + results["bounce"]["classic"])

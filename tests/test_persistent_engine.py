@@ -134,6 +134,49 @@ def test_pool_scheduler_bit_identical(arrays):
         np.testing.assert_array_equal(outs[0], other)
 
 
+def test_ladder_knobs_bit_identical(arrays):
+    # spill_floor / deeper ladders are pure scheduling transforms
+    # (exact lane permutations, same step graph): per-pixel sums are
+    # bit-equal to the defaults (measured so at the round-4 landing).
+    cam = CameraController()
+    cam.aperture = 0.5
+    p = cam.get_params(40, 24)
+    base = RenderConfig(width=40, height=24, spp=4, dual_walk=False,
+                        max_wave_lanes=256)
+    outs = []
+    for kw in (dict(),
+               dict(spill_floor=16, spill_stages=12),
+               dict(spill_floor=32, spill_stages=10)):
+        r = Renderer(arrays, cfg=base.replace(**kw))
+        r.step(p, spp=4)
+        outs.append(r.accum_host())
+    for other in outs[1:]:
+        np.testing.assert_array_equal(outs[0], other)
+
+
+def test_tail_unroll_mc_equivalent(arrays):
+    # tail_unroll recompiles the tail stages' step graph, so XLA
+    # re-fuses it: per-lane math is op-identical but drifts by ULPs
+    # that compound along deep paths (measured max ~4e-5 at 64x48;
+    # a rare sample can in principle flip an RNG branch, same budget
+    # as the cross-engine invariant).  Typical pixels must agree
+    # tightly; any flip tail stays rare and bounded.
+    cam = CameraController()
+    cam.aperture = 0.5
+    p = cam.get_params(40, 24)
+    base = RenderConfig(width=40, height=24, spp=4, dual_walk=False,
+                        max_wave_lanes=256)
+    outs = []
+    for kw in (dict(), dict(tail_unroll=3)):
+        r = Renderer(arrays, cfg=base.replace(**kw))
+        r.step(p, spp=4)
+        outs.append(np.asarray(r.accum_host()))
+    d = np.abs(outs[0] - outs[1]).max(axis=-1).ravel()
+    assert float(np.quantile(d, 0.99)) < 1e-4
+    assert (d > 1e-4).sum() <= max(5, d.size // 250)
+    assert float(d.max()) < 0.05
+
+
 def test_pool_scheduler_stats_match(arrays):
     import jax
     from tryraytrace_tpu.engine.wavefront import frame_ray_stats

@@ -97,14 +97,40 @@ def test_sa_collapse_walk_bit_identical():
     bvh = build_bvh(v0, v1, v2, method="sah", leaf_size=8)
     pv0, pv1, pv2 = v0[bvh.perm], v1[bvh.perm], v2[bvh.perm]
     t_cnt = jnp.asarray(pack_quad_table(bvh, pv0, pv1, pv2, leaf_size=8))
-    t_sa = jnp.asarray(pack_quad_table(bvh, pv0, pv1, pv2, leaf_size=8,
-                                       collapse="sa"))
     o, d = _rays(512, 5)
     act = jnp.ones((512,), bool)
     a = closest_hit_quad(t_cnt, 8, o, d, act)
-    b = closest_hit_quad(t_sa, 8, o, d, act)
+    for crit in ("sa", "dp"):
+        t_v = jnp.asarray(pack_quad_table(bvh, pv0, pv1, pv2, leaf_size=8,
+                                          collapse=crit))
+        b = closest_hit_quad(t_v, 8, o, d, act)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]),
+                                      err_msg=crit)
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]),
+                                      err_msg=crit)
+
+
+def test_rank_walk_bit_identical():
+    """The rank decode (slot2pos table, register-free) enters exactly
+    the child the perm decode enters (argmin rank == first hit in
+    thread order), so against the register-full default walk the hits
+    must match bit-for-bit (closest-hit is order-independent)."""
+    v0, v1, v2 = _scene(400, 23)
+    bvh = build_bvh(v0, v1, v2, method="sah", leaf_size=8)
+    pv0, pv1, pv2 = v0[bvh.perm], v1[bvh.perm], v2[bvh.perm]
+    t_perm = jnp.asarray(pack_quad_table(bvh, pv0, pv1, pv2, leaf_size=8))
+    t_rank = jnp.asarray(pack_quad_table(bvh, pv0, pv1, pv2, leaf_size=8,
+                                         perm_kind="slot2pos"))
+    o, d = _rays(512, 9)
+    act = jnp.ones((512,), bool)
+    a = closest_hit_quad(t_perm, 8, o, d, act)
+    b = closest_hit_quad(t_rank, 8, o, d, act, select="rank")
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    occ_a = any_hit_quad(t_perm, 8, o, d, jnp.float32(4.0), act)
+    occ_b = any_hit_quad(t_rank, 8, o, d, jnp.float32(4.0), act,
+                         select="rank")
+    np.testing.assert_array_equal(np.asarray(occ_a), np.asarray(occ_b))
 
 
 @pytest.fixture(scope="module")
@@ -131,9 +157,12 @@ def _render(arrays, **cfg_kw):
 def test_engine_variants_match_default(arrays):
     base = _render(arrays, traversal="quad")
     for kw in (dict(quad_layout="octant"),
-               dict(quad_regs=0),
+               dict(quad_regs=0, quad_select="perm"),
+               dict(quad_regs=0),  # auto-resolves the rank decode
+               dict(quad_regs=0, quad_select="rank"),
                dict(quad_regs=2),
                dict(quad_collapse="sa"),
+               dict(quad_collapse="dp"),
                dict(quad_layout="octant", quad_regs=0)):
         img = _render(arrays, traversal="quad", **kw)
         np.testing.assert_allclose(img, base, err_msg=str(kw), **_ULP)

@@ -1037,9 +1037,65 @@ def collapse_bvh(bvh: LinearBVH, width: int = QUAD_WIDTH,
       NOT refit-stable: a refit that changes bounds can change the
       collapse (and thus the table shape -> one recompile); animated
       scenes should keep "count".
+    * ``"dp"`` -- exact minimizer of the same objective sa
+      approximates: E[internal row fetches] = sum over collapsed
+      roots r of SA(r) under the SAH visit measure (leaf rows are
+      fetched whenever entered regardless of the grouping, so they
+      drop out of the objective).  Bottom-up DP over the binary tree:
+      cost(x) = SA(x) + min over binary cuts of x's subtree with
+      <= ``width`` frontier members of the internal members' costs
+      (a handful of cut shapes at width 4).  Same refit caveat as
+      "sa".
     """
     is_leaf = bvh.leaf_prim >= 0
     m = bvh.num_nodes
+    if criterion == "dp":
+        d = np.maximum(bvh.bounds[:, 3:] - bvh.bounds[:, :3], 0.0)
+        sa = (d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2]
+              + d[:, 2] * d[:, 0]).astype(np.float64)
+        cost = np.zeros(m, np.float64)
+        best_cut: dict[int, list[int]] = {}
+
+        def cuts(x):
+            """All binary cuts of x's children frontier, width-capped."""
+            out = []
+            seen = set()
+            stack = [(int(bvh.left[x]), int(bvh.right[x]))]
+            while stack:
+                cut = stack.pop()
+                if cut in seen:
+                    continue
+                seen.add(cut)
+                out.append(list(cut))
+                if len(cut) >= width:
+                    continue
+                for i, c in enumerate(cut):
+                    if not is_leaf[c]:
+                        nxt = (cut[:i]
+                               + (int(bvh.left[c]), int(bvh.right[c]))
+                               + cut[i + 1:])
+                        stack.append(tuple(nxt))
+            return out
+
+        for x in range(m - 1, -1, -1):
+            if is_leaf[x]:
+                continue
+            best = None
+            for cut in cuts(x):
+                c_cost = sum(cost[c] for c in cut if not is_leaf[c])
+                if best is None or c_cost < best[0]:
+                    best = (c_cost, cut)
+            cost[x] = sa[x] + best[0]
+            best_cut[x] = best[1]
+        children: dict[int, list[int]] = {}
+        todo = [0]
+        while todo:
+            x = todo.pop()
+            if is_leaf[x] or x in children:
+                continue
+            children[x] = best_cut[x]
+            todo.extend(c for c in best_cut[x] if not is_leaf[c])
+        return children
     if criterion == "count":
         # Subtree primitive counts, children-before-parents (the linear
         # layout stores children after their parent, so a reverse sweep
@@ -1077,7 +1133,21 @@ def pack_quad_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
                     v2: np.ndarray,
                     leaf_size: int | None = None,
                     leaf_fmt: str = "mt",
-                    collapse: str = "count") -> np.ndarray:
+                    collapse: str = "count",
+                    perm_kind: str = "pos2slot") -> np.ndarray:
+    """``perm_kind`` selects the packed permutation byte's direction:
+
+    * ``"pos2slot"`` (default) -- 2 bits per POSITION give the child
+      SLOT at that front-to-back position (ops/traverse._quad_decode's
+      mux network reads it).
+    * ``"slot2pos"`` -- 2 bits per SLOT give that child's front-to-back
+      POSITION (its rank).  The rank decode (_quad_decode_rank,
+      quad_regs=0 only) argmins hit children by rank instead of muxing
+      them into position order -- same first-entered child, fewer
+      selects.  Pad slots bake rank 3; they are masked by nslots.
+    """
+    if perm_kind not in ("pos2slot", "slot2pos"):
+        raise ValueError(f"unknown perm_kind {perm_kind!r}")
     m = bvh.num_nodes
     k = int(leaf_size if leaf_size is not None
             else max(1, bvh.leaf_count.max() if m else 1))
@@ -1140,9 +1210,16 @@ def pack_quad_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
             key = (cent[kids] * sign).sum(-1)
             order = np.argsort(key, kind="stable")
             perm = 0
-            for pos in range(QUAD_WIDTH):
-                slot = int(order[pos]) if pos < len(order) else 3
-                perm |= slot << (2 * pos)
+            if perm_kind == "pos2slot":
+                for pos in range(QUAD_WIDTH):
+                    slot = int(order[pos]) if pos < len(order) else 3
+                    perm |= slot << (2 * pos)
+            else:  # slot2pos: each child slot's front-to-back rank
+                ranks = [3] * QUAD_WIDTH
+                for pos, oi in enumerate(order):
+                    ranks[int(oi)] = pos
+                for slot in range(QUAD_WIDTH):
+                    perm |= ranks[slot] << (2 * slot)
             table[rowid[x], QUAD_COL_CONT + ob] = cont * 256 + perm
             for pos, oi in enumerate(order):
                 c = kids[oi]

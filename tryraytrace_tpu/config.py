@@ -186,9 +186,25 @@ class RenderConfig:
     # ~linearly at the cost of more containment-absorbed visits
     # (identical images: visit order/count changes only); 0 drops the
     # file AND the push computation entirely (~55 selects/step).
-    # Default 3 (the round-2 sim pick); the 0/2-register A/Bs ride
-    # the round-4 measurement queue.
+    # Measured on v5e at the headline (round 4): 0 / 2 / 3 ->
+    # 19.39 / 24.21 / 24.41 Mrays/s -- the registers EARN their
+    # selects (the absorbed extra visits at regs=0 cost ~20%, far
+    # more than the saved ops).  Default 3.
     quad_regs: int = 3
+    # First-entered-child decode of the register-free quad walk:
+    # "perm" = the position->slot mux network (_quad_decode); "rank" =
+    # argmin over baked per-slot front-to-back ranks
+    # (_quad_decode_rank + pack_quad_table perm_kind="slot2pos") --
+    # the same child always wins, so the walk is visit-identical, but
+    # the step drops the perm unpack + eight 4-way muxes (~40
+    # selects).  Rank produces no skip-register pushes, so it REQUIRES
+    # quad_regs == 0 and the "mux" layout.  None = auto: rank iff
+    # quad_regs == 0.  Dead for the headline by implication (round 4):
+    # the register-free walk itself measured 19.39 vs 24.41 Mrays/s
+    # (quad_regs sweep), and rank's ~25-op saving cannot recover a
+    # visit-count deficit priced at the 4.6 ns gather wall.  Kept as
+    # the cheapest decode for registerless walks.
+    quad_select: str | None = None
     # Quad-table layout: "mux" = shared rows, per-octant packed
     # cont*256+perm columns decoded by a select network; "octant" =
     # internal rows replicated once per ray octant with pre-permuted
@@ -203,7 +219,9 @@ class RenderConfig:
     # compiled program); "sa" expands the child with the largest
     # surface area, which maximizes the expected row fetches removed
     # per slot (P(enter c | fetched X) ~ SA(c)/SA(X)) but can change
-    # the table shape after a refit (one recompile).
+    # the table shape after a refit (one recompile); "dp" solves the
+    # same expected-fetch objective exactly (bottom-up cut DP,
+    # accel/bvh.collapse_bvh) with the same refit caveat.
     quad_collapse: str = "count"
     # Traversal steps executed per while-loop iteration in the
     # persistent engine.  Measured on v5e, a loop iteration containing
@@ -285,6 +303,24 @@ class RenderConfig:
     # stage compiles its own loop body.
     tail_spill: bool = True
     spill_stages: int = 8
+    # Narrowest ladder width (the "floor").  With 65k waves the
+    # default 8-stage ladder bottoms out at 256 lanes, so the floor
+    # only binds for deeper ladders (stages >= 11 at 64); lowering it
+    # lets the drain tail run sub-64-wide stages (VERDICT r3 #5
+    # experiment).  Scheduling only -- images identical.
+    spill_floor: int = 64
+    # Unroll override for narrow ladder stages (loop bodies that run
+    # at <= 4096 lanes): 0 = use step_unroll everywhere.  Narrow
+    # stages are dominated by the ~42 us fixed per-body dispatch cost,
+    # not lane math, so a deeper unroll amortizes dispatch where the
+    # wasted-lane cost of overshooting is smallest.  Scheduling only
+    # in op terms, but the tail stages' step graph recompiles and XLA
+    # re-fuses it: measured ULP drift compounding to ~4e-5 on deep
+    # paths (tests/test_persistent_engine.py
+    # test_tail_unroll_mc_equivalent bounds it) -- NOT bit-identical,
+    # unlike spill_floor/spill_stages which keep the step graph and
+    # are exact.
+    tail_unroll: int = 0
     # Cap on persistent-wave width: frames with more pixels render in
     # sequential pixel chunks of at most this many lanes (0 = one
     # wave).  RNG streams are absolute, so chunking never changes the
@@ -304,6 +340,30 @@ class RenderConfig:
 # bound the chain stops being obviously cheap and the engine keeps the
 # tick path, whose single shared gather amortizes over the cadence.
 INLINE_MAX_LIGHTS = 16
+
+
+def quad_select_resolved(cfg: RenderConfig) -> str:
+    """Resolve cfg.quad_select (None = auto) to "perm" | "rank".
+
+    Single source of truth shared by upload (table perm_kind) and the
+    engine (decode choice): rank needs the register-free walk (no
+    pushes can be produced from per-slot ranks) and the "mux" layout
+    (the octant layout has no permutation to replace)."""
+    sel = cfg.quad_select
+    if sel is None:
+        sel = ("rank" if cfg.quad_regs == 0
+               and cfg.quad_layout in ("mux",) else "perm")
+    if sel not in ("perm", "rank"):
+        raise ValueError(f"unknown quad_select {sel!r}")
+    if sel == "rank":
+        if cfg.quad_regs != 0:
+            raise ValueError(
+                "quad_select='rank' requires quad_regs=0 (the rank "
+                "decode produces no skip-register pushes)")
+        if cfg.quad_layout not in (None, "mux"):
+            raise ValueError(
+                "quad_select='rank' requires the 'mux' quad layout")
+    return sel
 
 
 def inline_resolved(cfg: RenderConfig, num_lights: int) -> bool:

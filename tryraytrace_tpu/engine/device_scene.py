@@ -90,6 +90,14 @@ class DeviceScene:
     # octant o's root = o * stride); 0 under "mux".
     quad_oct_stride: int = dataclasses.field(metadata=dict(static=True),
                                              default=0)
+    # Static: first-entered-child decode the quad table was packed for
+    # -- "perm" (packed pos->slot byte, _quad_decode's mux network) or
+    # "rank" (packed slot->pos byte, _quad_decode_rank's argmin;
+    # register-free walks only).  The engine's decode choice MUST
+    # follow this field: the packed octant column's low byte means
+    # different things under each.
+    quad_select: str = dataclasses.field(metadata=dict(static=True),
+                                         default="perm")
     # Tree depth (static): sizes the fat-node register stack exactly --
     # stack traffic scales with depth, so tighter is faster.
     tree_depth: int = dataclasses.field(metadata=dict(static=True),
@@ -177,7 +185,8 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
                  method: str = "sah", traversal: str = "quad",
                  c_isect: float = 0.4, leaf_fmt: str = "mt",
                  quad_collapse: str = "count",
-                 quad_layout: str | None = "mux"
+                 quad_layout: str | None = "mux",
+                 quad_select: str = "perm"
                  ) -> tuple[DeviceScene, tuple, LinearBVH]:
     """Build the BVH (reordering primitives, main.cpp:82-86 contract),
     then assemble the device pytree.
@@ -216,8 +225,10 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
     q_table = np.zeros((0, 47), np.float32)
     q_stride = 0
     q_layout = "mux"
+    if quad_select not in ("perm", "rank"):
+        raise ValueError(f"unknown quad_select {quad_select!r}")
     if traversal == "quad":
-        if quad_layout in (None, "octant"):
+        if quad_layout in (None, "octant") and quad_select != "rank":
             oct_tab, q_stride = pack_quad_oct_table(
                 bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
                 leaf_size=leaf_size, leaf_fmt=leaf_fmt,
@@ -232,7 +243,9 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
             q_table = pack_quad_table(
                 bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
                 leaf_size=leaf_size, leaf_fmt=leaf_fmt,
-                collapse=quad_collapse)
+                collapse=quad_collapse,
+                perm_kind=("slot2pos" if quad_select == "rank"
+                           else "pos2slot"))
     dev = DeviceScene(
         tri_v0=put(ordered.tri_v0),
         tri_v1=put(ordered.tri_v1),
@@ -279,6 +292,8 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
         quad_collapse=quad_collapse,
         quad_layout=q_layout,
         quad_oct_stride=q_stride,
+        quad_select=(quad_select if traversal == "quad"
+                     and q_layout == "mux" else "perm"),
         tree_depth=max(1, bvh.max_depth()),
     )
     textures = tuple(put(t) for t in ordered.textures)
@@ -337,7 +352,9 @@ def refit_scene(dev: DeviceScene, bvh: LinearBVH, arrays: SceneArrays,
             else pack_quad_table(
                 new_bvh, ordered.tri_v0, ordered.tri_v1,
                 ordered.tri_v2, leaf_size=leaf_size, leaf_fmt=leaf_fmt,
-                collapse=dev.quad_collapse))
+                collapse=dev.quad_collapse,
+                perm_kind=("slot2pos" if dev.quad_select == "rank"
+                           else "pos2slot")))
         if int(dev.quad_table.shape[0])
         else dev.quad_table,
         trimat=put(pack_trimat_table(ordered)),

@@ -74,6 +74,7 @@ from tryraytrace_tpu.ops.traverse import (
     _pair_decode,
     _quad_decode,
     _quad_decode_oct,
+    _quad_decode_rank,
     _regfile_apply,
     fatnode_step,
     ray_octant,
@@ -200,6 +201,12 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
         raise ValueError(
             "cfg.traversal='quad' but the scene was uploaded without a "
             "quad-row table (upload_scene(traversal=...))")
+    if quad and scene.quad_select == "rank" and cfg.quad_regs != 0:
+        raise ValueError(
+            "scene quad table is packed for the rank decode "
+            "(perm_kind='slot2pos') which produces no skip-register "
+            "pushes; set quad_regs=0 or re-upload with "
+            "quad_select='perm'")
     sample_stride = 2 if dual else 1
 
     # Inline shading (see _step): supported for the threaded walk +
@@ -374,7 +381,7 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     # soon as the live lanes fit the next width, so lane occupancy
     # stays > 1/2 in every stage instead of draining the full wave to
     # near-empty (measured 60% of lane-steps idle in DONE without it).
-    floor_w = min(w, 64)
+    floor_w = min(w, max(1, cfg.spill_floor))
     spill_widths: list[int] = []
     if inline_ctx is not None and pool:
         # Inline quota: compaction would break the one-hot flush's
@@ -398,7 +405,8 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
                    redirect_passes=max(1, cfg.quad_redirect_passes),
                    oct_stride=(scene.quad_oct_stride
                                if scene.quad_layout == "octant"
-                               else None))
+                               else None),
+                   select=scene.quad_select)
                if quad else _step)
 
     def lane_done(s):
@@ -407,7 +415,7 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
             done = done & (s["b.mode"] == DONE)
         return done
 
-    def make_body():
+    def make_body(step_unroll=step_unroll):
         def run_single(s):
             for u in range(step_unroll):
                 if with_debug:
@@ -534,6 +542,16 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
         return cond
 
     body = make_body()
+    # Narrow ladder stages (<= 4096 lanes, where the ~42 us fixed
+    # per-body dispatch cost dominates lane math) may run a deeper
+    # unroll (cfg.tail_unroll); each stage already compiles its own
+    # loop body, so this adds no extra programs.
+    tail_body = (make_body(max(1, cfg.tail_unroll))
+                 if cfg.tail_unroll > 0 else body)
+
+    def body_for(run_w: int):
+        return tail_body if run_w <= 4096 else body
+
     lane_keys = [kk for kk in keys
                  if getattr(st[kk], "ndim", 0) >= 1
                  and (kk != "out" or not pool)]
@@ -541,7 +559,9 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
     cur = st
     folds = []  # (pre-compaction state dict, sel) per stage
     for si, sw in enumerate(spill_widths):
-        cur = unpack(jax.lax.while_loop(stage_cond(sw), body, pack(cur)))
+        run_w = w if si == 0 else spill_widths[si - 1]
+        cur = unpack(jax.lax.while_loop(stage_cond(sw), body_for(run_w),
+                                        pack(cur)))
         # Compact the unfinished lanes (plus done fillers) to the
         # front.  ``out`` is per-pixel, not per-lane, in pool/quota
         # mode: it stays full-width and keeps being scattered into.
@@ -551,7 +571,9 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
             small[kk] = cur[kk][sel]
         folds.append((cur, sel))
         cur = small
-    final = unpack(jax.lax.while_loop(done_cond, body, pack(cur)))
+    final_w = spill_widths[-1] if spill_widths else w
+    final = unpack(jax.lax.while_loop(done_cond, body_for(final_w),
+                                      pack(cur)))
 
     if folds and not pool:
         # Fold the per-lane radiance back out through the compaction
@@ -864,7 +886,8 @@ def _step_pair(s, table, sentinel, k: int, col_ps: int, inline=None,
 def _step_quad(s, table, sentinel, k: int, col_ps: int, inline=None,
                service: bool = True, fmt: str = "mt",
                redirect_passes: int = 2,
-               oct_stride: int | None = None):
+               oct_stride: int | None = None,
+               select: str = "perm"):
     """One quad-row traversal step (accel/bvh.py pack_quad_table) for
     TRAVERSE and SHADOW lanes, sharing the single row gather; with
     ``inline`` the same slot serves SHADEG/TEXG exactly like _step.
@@ -926,7 +949,9 @@ def _step_quad(s, table, sentinel, k: int, col_ps: int, inline=None,
     occluded = found & live_s
 
     t_max = jnp.where(live_s, s["smax"], d_min)
-    decode = _quad_decode if oct_stride is None else _quad_decode_oct
+    decode = (_quad_decode_rank if select == "rank"
+              else _quad_decode if oct_stride is None
+              else _quad_decode_oct)
     cont, nxt_int, pushes = decode(row, octant, ro, inv,
                                    t_min, t_max)
     nxt = jnp.where(is_leaf, cont, nxt_int)

@@ -72,12 +72,15 @@ class Renderer:
         self.cfg = cfg if width is None else cfg.with_size(width, height)
         self.width = self.cfg.width
         self.height = self.cfg.height
+        from tryraytrace_tpu.config import quad_select_resolved
+
         self.scene, self.textures, self.bvh = upload_scene(
             arrays, leaf_size=self.cfg.bvh_leaf_size,
             method=self.cfg.bvh_method, traversal=self.cfg.traversal,
             leaf_fmt=self.cfg.leaf_isect,
             quad_collapse=self.cfg.quad_collapse,
-            quad_layout=self.cfg.quad_layout)
+            quad_layout=self.cfg.quad_layout,
+            quad_select=quad_select_resolved(self.cfg))
         if self.cfg.shade_every < 1:
             from tryraytrace_tpu.config import inline_resolved
             from tryraytrace_tpu.engine.device_scene import auto_shade_every

@@ -464,6 +464,50 @@ def _quad_decode(row, octant, r_o, inv_d, t_min, t_max):
     return cont, nxt_int, pushes
 
 
+def _quad_decode_rank(row, octant, r_o, inv_d, t_min, t_max):
+    """Rank-based internal-row decode for register-free quad walks
+    (cfg.quad_regs == 0, table packed with perm_kind="slot2pos").
+
+    The packed octant column's low byte holds each child SLOT's
+    front-to-back POSITION (its rank); the first-entered child is the
+    min-rank hit child -- a 4-way argmin tournament (3 compares + 6
+    selects) instead of _quad_decode's permutation mux network (perm
+    unpack + eight 4-way muxes + the 4-deep first-hit chain, ~40
+    selects).  Exactly the same child wins (ranks are the thread
+    order), so the register-free walk is bit-identical visit-for-visit
+    to _quad_decode at quad_regs=0.  No pushes are produced: the skip
+    registers need position->slot information this layout drops, which
+    is fine -- the rank decode exists only for the register-free walk.
+
+    Pad slots bake rank 3 and always "hit" (inverted boxes under the
+    swapping slab test), so the hit mask must include slot < nslots.
+    """
+    cp = _mux8(octant, [row[:, QUAD_COL_CONT + o] for o in range(8)])
+    cpi = cp.astype(jnp.int32)
+    cont = cpi >> 8
+    inv = cpi & 255
+    b = QUAD_COL_BODY
+    nsl = jnp.clip(row[:, b + QB_NSLOTS], 0, 4).astype(jnp.int32)
+    MISSK = jnp.int32(4)
+    keys, ents = [], []
+    for i in range(4):
+        hit = aabb_hit(row[:, b + 6 * i:b + 6 * i + 6], r_o, inv_d,
+                       t_min, t_max) & (i < nsl)
+        rank = (inv >> (2 * i)) & 3
+        keys.append(jnp.where(hit, rank, MISSK))
+        ents.append(row[:, b + QB_ENT + i].astype(jnp.int32))
+
+    def mn(k0, e0, k1, e1):
+        take0 = k0 <= k1
+        return jnp.where(take0, k0, k1), jnp.where(take0, e0, e1)
+
+    ka, ea = mn(keys[0], ents[0], keys[1], ents[1])
+    kb, eb = mn(keys[2], ents[2], keys[3], ents[3])
+    km, em = mn(ka, ea, kb, eb)
+    nxt_int = jnp.where(km < MISSK, em, cont)
+    return cont, nxt_int, []
+
+
 def _quad_decode_oct(row, octant, r_o, inv_d, t_min, t_max):
     """Internal-row decode for the octant-baked quad layout
     (accel/bvh.py pack_quad_oct_table): boxes and entry links are
@@ -531,7 +575,7 @@ def _regfile_apply(reg_e, reg_s, pushes, nxt, live, gate,
 
 def quad_step(table, k: int, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
               t_min, t_max, tlo, thi, live, fmt: str = "mt",
-              oct_stride: int | None = None):
+              oct_stride: int | None = None, select: str = "perm"):
     """One quad-row step shared by the closest/any-hit walks: gathers
     each live lane's current row, MT-tests leaf rows, first-hit-
     branches internal rows, and advances the 3-slot skip-register
@@ -540,7 +584,11 @@ def quad_step(table, k: int, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
     ``oct_stride`` (not None = the octant-baked layout,
     pack_quad_oct_table): a fresh walk at cur == 0 gathers its lane's
     octant root row (octant * stride) and the decode reads
-    pre-permuted slots."""
+    pre-permuted slots.
+
+    ``select="rank"`` (table packed with perm_kind="slot2pos") uses
+    the argmin rank decode; it produces no pushes, so pass
+    reg_e/reg_s=None to drop the register file."""
     sentinel = table.shape[0]
     cur_m = cur
     if oct_stride is not None and oct_stride > 0:
@@ -556,18 +604,22 @@ def quad_step(table, k: int, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
                                   base0=QUAD_COL_BODY, fmt=fmt)
     lid = jnp.where(live & is_leaf, lid, -1)
 
-    decode = _quad_decode if oct_stride is None else _quad_decode_oct
+    decode = (_quad_decode_rank if select == "rank"
+              else _quad_decode if oct_stride is None
+              else _quad_decode_oct)
     cont, nxt_int, pushes = decode(row, octant, r_o, inv_d,
                                    t_min, t_max)
     nxt = jnp.where(is_leaf, cont, nxt_int)
-    reg_e, reg_s, nxt = _regfile_apply(reg_e, reg_s, pushes, nxt, live,
-                                       ~is_leaf & live)
+    if reg_e is not None:
+        reg_e, reg_s, nxt = _regfile_apply(reg_e, reg_s, pushes, nxt,
+                                           live, ~is_leaf & live)
     cur = jnp.where(live, nxt, cur)
     return cur, reg_e, reg_s, lt, lid
 
 
 def closest_hit_quad(table, k: int, r_o, r_d, active, fmt: str = "mt",
-                     oct_stride: int | None = None):
+                     oct_stride: int | None = None,
+                     select: str = "perm"):
     """Closest-hit via the quad walk; same results as closest_hit
     (closest-hit is order-independent)."""
     n = r_o.shape[0]
@@ -577,7 +629,9 @@ def closest_hit_quad(table, k: int, r_o, r_d, active, fmt: str = "mt",
     inv_d = vec.safe_inv(r_d, jnp)
     octant = ray_octant(r_d)
     cur0 = jnp.where(active, 0, sentinel).astype(jnp.int32)
-    reg0 = jnp.full((n, QUAD_REGS), -1, jnp.int32)
+    use_regs = select != "rank"
+    reg0 = (jnp.full((n, QUAD_REGS), -1, jnp.int32) if use_regs
+            else jnp.zeros((n, 0), jnp.int32))
     state = (cur0, reg0, reg0, jnp.full((n,), MISS_T),
              jnp.full((n,), -1, jnp.int32))
 
@@ -587,21 +641,23 @@ def closest_hit_quad(table, k: int, r_o, r_d, active, fmt: str = "mt",
     def body(s):
         cur, reg_e, reg_s, d_min, hit_id = s
         live = cur < sentinel
-        cur, reg_e, reg_s, lt, lid = quad_step(
-            table, k, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
+        cur, re, rs, lt, lid = quad_step(
+            table, k, r_o, r_d, inv_d, octant, cur,
+            reg_e if use_regs else None, reg_s if use_regs else None,
             jnp.float32(0.0), d_min, jnp.float32(0.0), d_min, live,
-            fmt=fmt, oct_stride=oct_stride)
+            fmt=fmt, oct_stride=oct_stride, select=select)
         take = lid >= 0
         d_min = jnp.where(take, lt, d_min)
         hit_id = jnp.where(take, lid, hit_id)
-        return cur, reg_e, reg_s, d_min, hit_id
+        return (cur, re if use_regs else reg_e,
+                rs if use_regs else reg_s, d_min, hit_id)
 
     _, _, _, d_min, hit_id = jax.lax.while_loop(cond, body, state)
     return d_min, hit_id
 
 
 def any_hit_quad(table, k: int, r_o, r_d, max_dist, active, fmt: str = "mt",
-                 oct_stride: int | None = None):
+                 oct_stride: int | None = None, select: str = "perm"):
     """Shadow traversal via the quad walk (trace_shadow parity: plain
     1/d, constant (1e-3, max_dist) window, early exit)."""
     n = r_o.shape[0]
@@ -611,7 +667,9 @@ def any_hit_quad(table, k: int, r_o, r_d, max_dist, active, fmt: str = "mt",
     inv_d = (1.0 / r_d).astype(jnp.float32)
     octant = ray_octant(r_d)
     cur0 = jnp.where(active, 0, sentinel).astype(jnp.int32)
-    reg0 = jnp.full((n, QUAD_REGS), -1, jnp.int32)
+    use_regs = select != "rank"
+    reg0 = (jnp.full((n, QUAD_REGS), -1, jnp.int32) if use_regs
+            else jnp.zeros((n, 0), jnp.int32))
     state = (cur0, reg0, reg0, jnp.zeros((n,), bool))
 
     def cond(s):
@@ -620,14 +678,16 @@ def any_hit_quad(table, k: int, r_o, r_d, max_dist, active, fmt: str = "mt",
     def body(s):
         cur, reg_e, reg_s, occ = s
         live = cur < sentinel
-        cur, reg_e, reg_s, _, lid = quad_step(
-            table, k, r_o, r_d, inv_d, octant, cur, reg_e, reg_s,
+        cur, re, rs, _, lid = quad_step(
+            table, k, r_o, r_d, inv_d, octant, cur,
+            reg_e if use_regs else None, reg_s if use_regs else None,
             jnp.float32(1e-3), max_dist,
             jnp.float32(1e-3), max_dist - 1e-3, live, fmt=fmt,
-            oct_stride=oct_stride)
+            oct_stride=oct_stride, select=select)
         occ = occ | (lid >= 0)
         cur = jnp.where(occ, sentinel, cur)
-        return cur, reg_e, reg_s, occ
+        return (cur, re if use_regs else reg_e,
+                rs if use_regs else reg_s, occ)
 
     _, _, _, occ = jax.lax.while_loop(cond, body, state)
     return occ

@@ -117,13 +117,17 @@ class ShardedRenderer:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.cfg = cfg
         self.width, self.height = cfg.width, cfg.height
-        scene, textures, bvh = upload_scene(arrays, device_put=False,
-                                            leaf_size=cfg.bvh_leaf_size,
-                                            method=cfg.bvh_method,
-                                            traversal=cfg.traversal,
-                                            leaf_fmt=cfg.leaf_isect,
-                                            quad_collapse=cfg.quad_collapse,
-                                            quad_layout=cfg.quad_layout)
+        from tryraytrace_tpu.config import quad_select_resolved
+
+        scene, textures, bvh = upload_scene(
+            arrays, device_put=False,
+            leaf_size=cfg.bvh_leaf_size,
+            method=cfg.bvh_method,
+            traversal=cfg.traversal,
+            leaf_fmt=cfg.leaf_isect,
+            quad_collapse=cfg.quad_collapse,
+            quad_layout=cfg.quad_layout,
+            quad_select=quad_select_resolved(cfg))
         if cfg.shade_every < 1:
             from tryraytrace_tpu.config import inline_resolved
             from tryraytrace_tpu.engine.device_scene import auto_shade_every

@@ -28,17 +28,24 @@ def host_fingerprint() -> str:
         # identical flag lines but different models still produce
         # incompatible blobs (seen live: machine-feature-mismatch E
         # logs on load).
-        got_flags = got_model = False
+        # Also the NUMERIC family/model/stepping: this sandbox's VMs
+        # report a generic "Intel(R) Xeon(R) Processor" model name and
+        # near-identical flag lines across different microarchitectures,
+        # but LLVM detects the real microarch and bakes codegen
+        # preferences (+prefer-no-gather/-scatter) into AOT blobs --
+        # seen live: cross-machine mismatch E-logs with matching
+        # name+flags fingerprints.  family/model/stepping distinguish
+        # the microarch even under the generic name.
+        want_prefix = ("flags", "Features", "model name", "cpu family",
+                       "model\t", "model:", "stepping")
+        seen: set = set()
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if not got_flags and line.startswith(("flags",
-                                                      "Features")):
-                    blob += line
-                    got_flags = True
-                if not got_model and line.startswith("model name"):
-                    blob += line
-                    got_model = True
-                if got_flags and got_model:
+                for p in want_prefix:
+                    if p not in seen and line.startswith(p):
+                        blob += line
+                        seen.add(p)
+                if len(seen) == len(want_prefix):
                     break
     except OSError:
         blob += platform.processor() or ""
