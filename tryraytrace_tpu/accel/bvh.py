@@ -58,6 +58,13 @@ class LinearBVH:
     right: np.ndarray       # [M] i32: right child (-1 for leaf)  [debug/tests]
     axis: np.ndarray        # [M] i32: split axis (debug parity, bvh.h:26)
     perm: np.ndarray        # [N] i32: perm[slot] = original primitive index
+    # Build-time quad collapse mapping ({root: [child ids]}), stashed
+    # by upload_scene so bounds-dependent criteria ("sa"/"dp") stay
+    # REFIT-STABLE: a refit repacks the table with this mapping (same
+    # rows, new bounds) instead of re-collapsing on moved bounds,
+    # which could change the table shape and force a recompile.
+    # None until a quad upload computes it; refit_bvh carries it over.
+    quad_children: dict | None = None
 
     @property
     def num_nodes(self) -> int:
@@ -1026,17 +1033,12 @@ def collapse_bvh(bvh: LinearBVH, width: int = QUAD_WIDTH,
     step splits into the row's remaining slots:
 
     * ``"count"`` -- subtree primitive count (the heavy subtree is
-      the one worth splitting finer).  TOPOLOGY-ONLY on purpose: a
-      bounds refit (refit_bvh) produces the identical collapse so the
-      packed table keeps its shape and the engine's compiled program
-      is reused.
+      the one worth splitting finer).  Topology-only: re-collapsing
+      after a bounds refit reproduces the identical mapping.
     * ``"sa"`` -- child surface area.  A ray that fetched X's row
       enters child c with probability ~SA(c)/SA(X) (the SAH measure),
       and expanding c saves exactly that expected row fetch, so
       greedy-by-SA maximizes expected fetches removed per slot spent.
-      NOT refit-stable: a refit that changes bounds can change the
-      collapse (and thus the table shape -> one recompile); animated
-      scenes should keep "count".
     * ``"dp"`` -- exact minimizer of the same objective sa
       approximates: E[internal row fetches] = sum over collapsed
       roots r of SA(r) under the SAH visit measure (leaf rows are
@@ -1044,8 +1046,12 @@ def collapse_bvh(bvh: LinearBVH, width: int = QUAD_WIDTH,
       drop out of the objective).  Bottom-up DP over the binary tree:
       cost(x) = SA(x) + min over binary cuts of x's subtree with
       <= ``width`` frontier members of the internal members' costs
-      (a handful of cut shapes at width 4).  Same refit caveat as
-      "sa".
+      (a handful of cut shapes at width 4).
+
+    "sa"/"dp" depend on bounds, so re-collapsing after a refit could
+    change the mapping; refit stability comes from upload_scene
+    stashing the build-time mapping on LinearBVH.quad_children and the
+    refit path repacking with it (same table shape, new bounds).
     """
     is_leaf = bvh.leaf_prim >= 0
     m = bvh.num_nodes
@@ -1134,8 +1140,13 @@ def pack_quad_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
                     leaf_size: int | None = None,
                     leaf_fmt: str = "mt",
                     collapse: str = "count",
-                    perm_kind: str = "pos2slot") -> np.ndarray:
-    """``perm_kind`` selects the packed permutation byte's direction:
+                    perm_kind: str = "pos2slot",
+                    children: dict | None = None) -> np.ndarray:
+    """``children`` (optional) reuses a precomputed collapse mapping
+    (LinearBVH.quad_children) instead of re-collapsing -- the refit
+    path passes the build-time mapping so bounds-dependent criteria
+    keep the table shape.  ``perm_kind`` selects the packed
+    permutation byte's direction:
 
     * ``"pos2slot"`` (default) -- 2 bits per POSITION give the child
       SLOT at that front-to-back position (ops/traverse._quad_decode's
@@ -1159,7 +1170,8 @@ def pack_quad_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
         raise ValueError(
             f"leaf_size {k} < max leaf count {bvh.leaf_count.max()}")
     is_leaf = bvh.leaf_prim >= 0
-    children = collapse_bvh(bvh, criterion=collapse)
+    if children is None:
+        children = collapse_bvh(bvh, criterion=collapse)
     # Compact row ids: collapsed roots + binary leaves, in binary-id
     # order (the binary root is node 0, so its row is 0).  Absorbed
     # binary internals have no row.
@@ -1240,7 +1252,8 @@ def pack_quad_oct_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
                         v2: np.ndarray,
                         leaf_size: int | None = None,
                         leaf_fmt: str = "mt",
-                        collapse: str = "count"
+                        collapse: str = "count",
+                        children: dict | None = None
                         ) -> tuple[np.ndarray, int]:
     """Octant-baked quad table: same walk as pack_quad_table, but each
     collapsed INTERNAL node gets eight rows -- one per ray octant --
@@ -1276,7 +1289,8 @@ def pack_quad_oct_table(bvh: LinearBVH, v0: np.ndarray, v1: np.ndarray,
         raise ValueError(
             f"leaf_size {k} < max leaf count {bvh.leaf_count.max()}")
     is_leaf = bvh.leaf_prim >= 0
-    children = collapse_bvh(bvh, criterion=collapse)
+    if children is None:
+        children = collapse_bvh(bvh, criterion=collapse)
     internals = sorted(children.keys())
     leaves = np.nonzero(is_leaf)[0].tolist()
     ri = len(internals)

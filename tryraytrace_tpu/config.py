@@ -214,15 +214,19 @@ class RenderConfig:
     # gather knee).  Identical images (same walk, same visit order).
     quad_layout: str | None = "mux"
     # Quad-table collapse criterion (accel/bvh.collapse_bvh): "count"
-    # expands the child with the most subtree primitives and is
-    # topology-only (refit-stable -- animated scenes keep their
-    # compiled program); "sa" expands the child with the largest
-    # surface area, which maximizes the expected row fetches removed
-    # per slot (P(enter c | fetched X) ~ SA(c)/SA(X)) but can change
-    # the table shape after a refit (one recompile); "dp" solves the
-    # same expected-fetch objective exactly (bottom-up cut DP,
-    # accel/bvh.collapse_bvh) with the same refit caveat.
-    quad_collapse: str = "count"
+    # expands the child with the most subtree primitives (topology-
+    # only); "sa" expands the child with the largest surface area,
+    # which maximizes the expected row fetches removed per slot
+    # (P(enter c | fetched X) ~ SA(c)/SA(X)); "dp" solves the same
+    # expected-fetch objective exactly (bottom-up cut DP).  All three
+    # are REFIT-STABLE: upload_scene stashes the build-time mapping on
+    # the bvh (LinearBVH.quad_children) and refits repack with it, so
+    # bounds-dependent criteria keep the compiled program too.
+    # Measured on v5e at the headline (round 4): count 24.41, sa
+    # 24.68, dp 24.68 Mrays/s (sa and dp produce frame-identical
+    # walks on teapot; dp is never worse on the objective, so it is
+    # the default).
+    quad_collapse: str = "dp"
     # Traversal steps executed per while-loop iteration in the
     # persistent engine.  Measured on v5e, a loop iteration containing
     # gathers pays a ~0.27 ms fixed cost once regardless of how many
@@ -319,7 +323,10 @@ class RenderConfig:
     # paths (tests/test_persistent_engine.py
     # test_tail_unroll_mc_equivalent bounds it) -- NOT bit-identical,
     # unlike spill_floor/spill_stages which keep the step graph and
-    # are exact.
+    # are exact.  Measured on v5e at the headline (round 4):
+    # tail_unroll 8 -> 24.43 vs 24.41 control -- the sub-4096-lane
+    # stages are too small a fraction of the frame for dispatch
+    # amortization to register.  Default stays 0.
     tail_unroll: int = 0
     # Cap on persistent-wave width: frames with more pixels render in
     # sequential pixel chunks of at most this many lanes (0 = one

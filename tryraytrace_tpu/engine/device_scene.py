@@ -114,7 +114,7 @@ class DeviceScene:
 
 def _build_auto_leaf(arrays: SceneArrays, method: str,
                      traversal: str = "threaded", c_isect: float = 0.4,
-                     leaf_fmt: str = "mt"):
+                     leaf_fmt: str = "mt", quad_collapse: str = "count"):
     """Auto leaf size: the largest fat leaf whose fused traversal
     table stays under the measured ~3 MB gather knee (tables above it
     pay ~0.06 ms/MB per in-loop row fetch, docs/PERFORMANCE.md).
@@ -143,7 +143,7 @@ def _build_auto_leaf(arrays: SceneArrays, method: str,
             leaf_fmt)
         rows = bvh.num_nodes
         if traversal == "quad" and rows:
-            rows = (len(collapse_bvh(bvh))
+            rows = (len(collapse_bvh(bvh, criterion=quad_collapse))
                     + int((bvh.leaf_count > 0).sum()))
         if rows * width * 4 <= knee_bytes or cand == candidates[-1]:
             return bvh, cand
@@ -202,7 +202,8 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
     if bvh is None:
         if leaf_size <= 0:
             bvh, leaf_size = _build_auto_leaf(arrays, method, traversal,
-                                              c_isect, leaf_fmt)
+                                              c_isect, leaf_fmt,
+                                              quad_collapse)
         else:
             bvh = build_bvh(arrays.tri_v0, arrays.tri_v1, arrays.tri_v2,
                             leaf_size=leaf_size, method=method,
@@ -228,11 +229,20 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
     if quad_select not in ("perm", "rank"):
         raise ValueError(f"unknown quad_select {quad_select!r}")
     if traversal == "quad":
+        from tryraytrace_tpu.accel.bvh import collapse_bvh
+
+        # Compute the collapse mapping ONCE and stash it on the bvh:
+        # refits repack with this mapping (same table shape, new
+        # bounds), which keeps the bounds-dependent criteria
+        # ("sa"/"dp") refit-stable like "count".
+        if bvh.quad_children is None:
+            bvh.quad_children = collapse_bvh(bvh,
+                                             criterion=quad_collapse)
         if quad_layout in (None, "octant") and quad_select != "rank":
             oct_tab, q_stride = pack_quad_oct_table(
                 bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
                 leaf_size=leaf_size, leaf_fmt=leaf_fmt,
-                collapse=quad_collapse)
+                children=bvh.quad_children)
             trimat_bytes = ((arrays.tri_v0.shape[0] + 1) // 2
                             * oct_tab.shape[1] * 4 if oct_tab.size else 0)
             if quad_layout == "octant" or (
@@ -243,7 +253,7 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
             q_table = pack_quad_table(
                 bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
                 leaf_size=leaf_size, leaf_fmt=leaf_fmt,
-                collapse=quad_collapse,
+                children=bvh.quad_children,
                 perm_kind=("slot2pos" if quad_select == "rank"
                            else "pos2slot"))
     dev = DeviceScene(
@@ -343,16 +353,21 @@ def refit_scene(dev: DeviceScene, bvh: LinearBVH, arrays: SceneArrays,
             leaf_size=leaf_size, leaf_fmt=leaf_fmt))
         if int(dev.pair_table.shape[0])
         else dev.pair_table,
+        # The build-time collapse mapping rides new_bvh.quad_children
+        # (refit_bvh's dataclasses.replace carries it), so "sa"/"dp"
+        # collapses keep their table shape across refits.
         quad_table=put(
             pack_quad_oct_table(
                 new_bvh, ordered.tri_v0, ordered.tri_v1,
                 ordered.tri_v2, leaf_size=leaf_size, leaf_fmt=leaf_fmt,
-                collapse=dev.quad_collapse)[0]
+                collapse=dev.quad_collapse,
+                children=new_bvh.quad_children)[0]
             if dev.quad_layout == "octant"
             else pack_quad_table(
                 new_bvh, ordered.tri_v0, ordered.tri_v1,
                 ordered.tri_v2, leaf_size=leaf_size, leaf_fmt=leaf_fmt,
                 collapse=dev.quad_collapse,
+                children=new_bvh.quad_children,
                 perm_kind=("slot2pos" if dev.quad_select == "rank"
                            else "pos2slot")))
         if int(dev.quad_table.shape[0])
