@@ -74,7 +74,8 @@ cfg = RenderConfig(width=w, height=h, spp=spp, **spec)
 scene, textures, bvh = upload_scene(arrays, leaf_size=cfg.bvh_leaf_size,
                                     method=cfg.bvh_method,
                                     traversal=cfg.traversal,
-                                    leaf_fmt=cfg.leaf_isect)
+                                    leaf_fmt=cfg.leaf_isect,
+                                    quad_collapse=cfg.quad_collapse)
 cam = CameraController().get_params(w, h)
 pix = jnp.arange(lanes, dtype=jnp.int32)
 

@@ -56,6 +56,13 @@ FAST_FILES = {
 HOSTONLY_EXCLUDE = {
     "test_golden.py", "test_traverse.py", "test_leaf_isect.py",
 }
+# Individual engine-compiling tests inside otherwise host-only files
+# (a full persistent-engine compile is 5-15 min on a cold cache on a
+# 1-core host -- measured live in round 4 when these hung the tier).
+HOSTONLY_EXCLUDE_ITEMS = {
+    "test_sbvh_render_bit_identical_to_sah",
+    "test_renderer_resolves_auto_and_images_match",
+}
 
 
 def pytest_collection_modifyitems(config, items):
@@ -65,7 +72,9 @@ def pytest_collection_modifyitems(config, items):
         base = os.path.basename(str(item.fspath))
         if base in FAST_FILES:
             item.add_marker(pytest.mark.fast)
-            if base not in HOSTONLY_EXCLUDE:
+            if (base not in HOSTONLY_EXCLUDE
+                    and item.name.split("[")[0]
+                    not in HOSTONLY_EXCLUDE_ITEMS):
                 item.add_marker(pytest.mark.hostonly)
 
 

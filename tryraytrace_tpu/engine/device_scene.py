@@ -184,7 +184,7 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
                  device_put=True, leaf_size: int = 8,
                  method: str = "sah", traversal: str = "quad",
                  c_isect: float = 0.4, leaf_fmt: str = "mt",
-                 quad_collapse: str = "count",
+                 quad_collapse: str = "dp",
                  quad_layout: str | None = "mux",
                  quad_select: str = "perm"
                  ) -> tuple[DeviceScene, tuple, LinearBVH]:
