@@ -267,12 +267,14 @@ class RenderConfig:
     # pool positions i, i+w, i+2w, ... -- no shared counter, no cumsum,
     # no partial-sum array; the straggler tail still averages over
     # ~pool_span/w pixels per lane.
-    # Measured on v5e (docs/PERFORMANCE.md): pool wins +17% at spp<=4
-    # (tails dominate) but LOSES at the 16-spp headline (9.63 vs 11.01
-    # Mrays/s) -- the per-tick claim logic (scatter + cumsum + pool
-    # gather) costs more than the recovered idle, and pool disables
-    # dual-walk.  Owner stays the default; use --scheduler pool for
-    # low-spp interactive frames.
+    # Measured on v5e (docs/PERFORMANCE.md): pool won +17% at spp<=4
+    # in round 1, but that predates inline shading, which pool
+    # structurally disables (its shared-counter claim needs a per-step
+    # cumsum).  Round-4 re-measure at the reference's interactive
+    # operating point (1200x800 @ 1 spp): owner 731 ms/frame vs pool
+    # 1477 -- owner wins 2x even at 1 spp now, and it already won the
+    # 16-spp headline.  Owner is right everywhere; pool/quota remain
+    # as measured alternatives.
     scheduler: str = "owner"
     # Pixels per pool (work-stealing) span: frames with more pixels
     # render in sequential spans of at most this many (0 = whole
