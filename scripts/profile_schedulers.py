@@ -36,10 +36,15 @@ sched = spec.pop("scheduler")
 arrays = flatten_scene(create_cornell_box(),
                        textures=[checker_texture(256)])
 cfg = RenderConfig(width=w, height=h, spp=spp, scheduler=sched, **spec)
+from tryraytrace_tpu.config import quad_select_resolved
+
 scene, textures, bvh = upload_scene(arrays, leaf_size=cfg.bvh_leaf_size,
                                     method=cfg.bvh_method,
                                     traversal=cfg.traversal,
-                                    leaf_fmt=cfg.leaf_isect)
+                                    leaf_fmt=cfg.leaf_isect,
+                                    quad_collapse=cfg.quad_collapse,
+                                    quad_layout=cfg.quad_layout,
+                                    quad_select=quad_select_resolved(cfg))
 cam = CameraController().get_params(w, h)
 
 from tryraytrace_tpu.engine.persistent import render_frame_persistent

@@ -45,10 +45,15 @@ mesh = spec.pop("mesh", "teapot.obj")
 scene_h = create_cornell_box(mesh=mesh or None)
 arrays = flatten_scene(scene_h, textures=[checker_texture(256)])
 cfg = RenderConfig(width=w, height=h, spp=spp, **spec)
+from tryraytrace_tpu.config import quad_select_resolved
+
 scene, textures, bvh = upload_scene(arrays, leaf_size=cfg.bvh_leaf_size,
                                     method=cfg.bvh_method,
                                     traversal=cfg.traversal,
-                                    leaf_fmt=cfg.leaf_isect)
+                                    leaf_fmt=cfg.leaf_isect,
+                                    quad_collapse=cfg.quad_collapse,
+                                    quad_layout=cfg.quad_layout,
+                                    quad_select=quad_select_resolved(cfg))
 cam = CameraController().get_params(w, h)
 
 @functools.partial(jax.jit, donate_argnames=("accum",))

@@ -65,6 +65,11 @@ class LinearBVH:
     # which could change the table shape and force a recompile.
     # None until a quad upload computes it; refit_bvh carries it over.
     quad_children: dict | None = None
+    # Criterion the stashed mapping was computed under -- upload_scene
+    # recomputes the stash when a re-upload asks for a different
+    # quad_collapse (an A/B sweep sharing a prebuilt bvh must not
+    # silently pack the old criterion's mapping).
+    quad_children_crit: str | None = None
 
     @property
     def num_nodes(self) -> int:

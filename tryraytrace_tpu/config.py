@@ -360,8 +360,12 @@ def quad_select_resolved(cfg: RenderConfig) -> str:
     (the octant layout has no permutation to replace)."""
     sel = cfg.quad_select
     if sel is None:
+        # Auto layout (None) is included: upload_scene skips the
+        # octant packing whenever quad_select=="rank", so a
+        # registerless auto-layout config resolves to the mux table +
+        # rank decode, consistent with quad_layout="mux".
         sel = ("rank" if cfg.quad_regs == 0
-               and cfg.quad_layout in ("mux",) else "perm")
+               and cfg.quad_layout in (None, "mux") else "perm")
     if sel not in ("perm", "rank"):
         raise ValueError(f"unknown quad_select {sel!r}")
     if sel == "rank":

@@ -228,16 +228,27 @@ def upload_scene(arrays: SceneArrays, bvh: LinearBVH | None = None,
     q_layout = "mux"
     if quad_select not in ("perm", "rank"):
         raise ValueError(f"unknown quad_select {quad_select!r}")
+    if quad_select == "rank" and quad_layout == "octant":
+        # Mirror quad_select_resolved: the octant layout has no
+        # permutation mux for the rank decode to replace, and packing
+        # would silently fall back to a mux table the caller did not
+        # ask for.
+        raise ValueError("quad_select='rank' requires the 'mux' quad "
+                         "layout (octant rows are pre-permuted)")
     if traversal == "quad":
         from tryraytrace_tpu.accel.bvh import collapse_bvh
 
         # Compute the collapse mapping ONCE and stash it on the bvh:
         # refits repack with this mapping (same table shape, new
         # bounds), which keeps the bounds-dependent criteria
-        # ("sa"/"dp") refit-stable like "count".
-        if bvh.quad_children is None:
+        # ("sa"/"dp") refit-stable like "count".  Keyed by criterion:
+        # a re-upload of the same bvh under a different quad_collapse
+        # recomputes instead of silently reusing the old mapping.
+        if (bvh.quad_children is None
+                or bvh.quad_children_crit != quad_collapse):
             bvh.quad_children = collapse_bvh(bvh,
                                              criterion=quad_collapse)
+            bvh.quad_children_crit = quad_collapse
         if quad_layout in (None, "octant") and quad_select != "rank":
             oct_tab, q_stride = pack_quad_oct_table(
                 bvh, ordered.tri_v0, ordered.tri_v1, ordered.tri_v2,
