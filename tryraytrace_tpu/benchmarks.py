@@ -82,6 +82,58 @@ def build_config(name: str):
     raise ValueError(f"unknown config {name!r}; choose from {CONFIGS}")
 
 
+def run_progressive(name: str, frames: int = 10, iters: int = 0,
+                    cfg_kw: dict | None = None) -> dict:
+    """Measure the cross-frame persistent wave (engine/progressive.py)
+    at config ``name``'s raster: sustained Mrays/s plus ms per
+    1-spp-equivalent frame (the interactive pacing metric --
+    the mean per-pixel sample count advancing by 1 is one reference
+    frame's worth of work, main.cpp:181).
+
+    ``iters=0`` calibrates the per-frame iteration budget to ~1 mean
+    sample per frame from a warmup probe.
+    """
+    from tryraytrace_tpu.camera.controller import CameraController
+    from tryraytrace_tpu.engine.progressive import ProgressiveRenderer
+
+    arrays, w, h, _spp, _ = build_config(name)
+    cfg = RenderConfig(width=w, height=h, spp=1, **(cfg_kw or {}))
+    pr = ProgressiveRenderer(arrays, cfg=cfg)
+    cam = CameraController().get_params(w, h)
+
+    # Warm up / compile, then calibrate iterations-per-mean-sample.
+    t0 = time.time()
+    pr.step(cam, 4)
+    pr.block_until_ready()
+    compile_s = time.time() - t0
+    m0 = float(pr.snapshot()[1].mean())
+    pr.step(cam, 16)
+    pr.block_until_ready()
+    m1 = float(pr.snapshot()[1].mean())
+    per_iter = max((m1 - m0) / 16.0, 1e-6)
+    iters = iters or max(1, round(1.0 / per_iter))
+
+    r0 = pr.rays_traced()
+    t0 = time.time()
+    for _ in range(frames):
+        pr.step(cam, iters)
+        pr.block_until_ready()
+    dt = (time.time() - t0) / frames
+    rays = (pr.rays_traced() - r0) / frames
+    m2 = float(pr.snapshot()[1].mean())
+    spp_per_frame = max((m2 - m1) / frames, 1e-9)
+    return dict(
+        config=name, mode="progressive", width=w, height=h,
+        tris=arrays.num_objects, iters_per_frame=iters,
+        ms_per_frame=round(dt * 1e3, 2),
+        spp_per_frame=round(spp_per_frame, 3),
+        ms_per_1spp=round(dt * 1e3 / spp_per_frame, 2),
+        fps=round(1.0 / dt, 2),
+        mrays_per_s=round(rays / dt / 1e6, 3),
+        compile_s=round(compile_s, 1),
+    )
+
+
 def run_config(name: str, frames: int = 2, engine: str | None = None,
                fly: bool = False, cfg_kw: dict | None = None) -> dict:
     import jax

@@ -229,7 +229,7 @@ def _cfg_from_args(args) -> RenderConfig:
 
 
 def cmd_interactive(args) -> int:
-    from tryraytrace_tpu.display.app import App
+    from tryraytrace_tpu.display.app import App, ProgressiveApp
     from tryraytrace_tpu.display.input import ScriptedInput
 
     cfg = _cfg_from_args(args)
@@ -245,9 +245,15 @@ def cmd_interactive(args) -> int:
     if args.script:
         with open(args.script) as f:
             script = ScriptedInput(json.load(f))
-    app = App(arrays, cfg, input_source=script, window=window,
-              out_dir=args.out_dir,
-              checkpoint_every=args.checkpoint_every)
+    if getattr(args, "progressive", False):
+        # Cross-frame persistent wave (engine/progressive.py): no
+        # per-frame drain, per-pixel progressive accumulation.
+        app = ProgressiveApp(arrays, cfg, input_source=script,
+                             window=window, out_dir=args.out_dir)
+    else:
+        app = App(arrays, cfg, input_source=script, window=window,
+                  out_dir=args.out_dir,
+                  checkpoint_every=args.checkpoint_every)
     app.run(max_frames=args.frames)
     print(f"[tpurt] displayed {app.frames_displayed} frames; "
           f"snapshots: {app.snapshots}")
@@ -340,6 +346,10 @@ def main(argv=None) -> int:
     p.add_argument("--out-dir", default=".")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="autosave render state every N frames (0 = off)")
+    p.add_argument("--progressive", action="store_true",
+                   help="cross-frame persistent wave: no per-frame "
+                        "drain, per-pixel progressive sample counts "
+                        "(engine/progressive.py)")
     p.set_defaults(fn=cmd_interactive)
 
     p = sub.add_parser("bench", help="performance benchmark (JSON line)")

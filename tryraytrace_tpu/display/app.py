@@ -151,3 +151,109 @@ class App:
             r.accum_host().reshape(-1, 3), self.cfg.width, self.cfg.height,
             max(r.spp(), 1), self.camera.get_focus_dist(),
             self.camera.get_aperture(), out_dir=self.out_dir)
+
+
+class ProgressiveApp(App):
+    """The game loop over the cross-frame persistent wave
+    (engine/progressive.py): phase B advances every chunk's resident
+    wave a fixed number of iterations instead of rendering an exact-spp
+    batch frame, so no frame ever pays a wave drain and frame latency
+    is iteration-bounded.  Per-pixel sample counts diverge (cheap
+    pixels converge faster); the display normalizes each pixel by its
+    own completed-sample count.
+
+    ``iters_per_frame=0`` (default) adapts the per-frame iteration
+    budget so the MEAN per-pixel sample count advances ~1 per displayed
+    frame -- the reference's 1-spp-per-frame pacing (main.cpp:181) at
+    whatever wall-clock the scene costs.
+    """
+
+    def __init__(self, arrays, cfg: RenderConfig,
+                 camera: CameraController | None = None,
+                 input_source=None, window: bool = False,
+                 out_dir: str = ".", iters_per_frame: int = 0):
+        from tryraytrace_tpu.engine.progressive import ProgressiveRenderer
+
+        super().__init__(arrays, cfg, camera=camera,
+                         input_source=input_source, window=window,
+                         out_dir=out_dir)
+        # Replace the batch renderer (the base __init__ built one; its
+        # upload is reused nowhere -- acceptable startup cost for the
+        # shared loop plumbing).
+        self.renderer = ProgressiveRenderer(arrays, cfg=cfg)
+        self._iters = iters_per_frame
+        self._adapt = iters_per_frame <= 0
+        if self._adapt:
+            self._iters = 16
+        self._frame = 1
+        self._last_mean = 0.0
+
+    def tick(self) -> bool:
+        r = self.renderer
+        state: InputState = self.input.process_events(self.camera)
+
+        if state.save_request:
+            self.snapshots.append(self._save())
+        if state.quit or self._quit:
+            return False
+        if state.camera_moved:
+            r.reset()  # main.cpp:170-173
+            self._last_mean = 0.0
+
+        params = self.camera.get_params(self.cfg.width, self.cfg.height)
+        t0 = time.perf_counter()
+        r.step(params, self._iters)
+        self._frame += 1
+
+        if self._frame % 10 == 0:
+            from tryraytrace_tpu.utils.logging import log_event
+
+            log_event("frame", n=self._frame,
+                      mean_spp=round(self._last_mean, 2),
+                      iters=self._iters,
+                      dispatch_ms=round((time.perf_counter() - t0) * 1e3,
+                                        2))
+
+        if not self.pipeline.busy():
+            accum, counts = r.snapshot()
+            mean = float(counts.mean())
+            if self._adapt and mean > self._last_mean:
+                # Aim the next frame's budget at +1 mean sample.
+                per_iter = (mean - self._last_mean) / self._iters
+                if per_iter > 0:
+                    self._iters = int(np.clip(round(1.0 / per_iter),
+                                              4, 4096))
+            self._last_mean = mean
+            img = accum / np.maximum(counts, 1)[:, None]
+            self.pipeline.try_dispatch(img, 1)
+
+        if self.pipeline.check_frame_ready():
+            self.frames_displayed += 1
+            if self._window is not None:
+                buf = self.pipeline.pixel_buffer.reshape(
+                    self.cfg.height, self.cfg.width)
+                rgb = np.stack([(buf >> 16) & 0xFF, (buf >> 8) & 0xFF,
+                                buf & 0xFF], axis=-1).astype(np.uint8)
+                surf = self._pg.surfarray.make_surface(
+                    rgb.transpose(1, 0, 2))
+                self._window.blit(surf, (0, 0))
+                self._pg.display.flip()
+                if self._frame % 10 == 0:
+                    self._pg.display.set_caption(
+                        f"Frame: {self._frame} | Focus: "
+                        f"{self.camera.focus_dist:.1f} | Aperture: "
+                        f"{self.camera.aperture:.1f}")
+        return True
+
+    def _save(self) -> str:
+        r = self.renderer
+        if r.states is None:
+            accum = np.zeros((self.cfg.width * self.cfg.height, 3),
+                             np.float32)
+        else:
+            acc, counts = r.snapshot()
+            accum = acc / np.maximum(counts, 1)[:, None]
+        return save_snapshot(
+            accum, self.cfg.width, self.cfg.height, 1,
+            self.camera.get_focus_dist(), self.camera.get_aperture(),
+            out_dir=self.out_dir)

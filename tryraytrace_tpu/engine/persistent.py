@@ -112,6 +112,112 @@ def _lane_seed(frame_seed, seed_spp: int, sample):
     return rng.sample_seed(frame_seed, seed_spp, sample, jnp)
 
 
+def build_inline_table(table, sentinel, scene, textures, cfg, cam,
+                       frame_seed, pixel_idx, width, height, spp,
+                       sample_offset, seed_spp, sample_stride, stride,
+                       n_items=0, pool_fn=None):
+    """Assemble the inline-shading unified gather table + step context.
+
+    Unified gather table: node rows first (traversal indices and the
+    done-sentinel are unchanged), then the trimat rows packed 2-per-row
+    where the node width allows (the row fetch is width-independent to
+    >=112 f32; packing halves the added table bytes to stay under the
+    ~3 MB gather knee).  Inline texturing appends the tiled texture
+    rows too (one row serves a whole bilinear footprint) when they fit
+    the gather budget; otherwise textured hits keep the tick deferral.
+
+    Shared by render_frame_persistent and the cross-frame progressive
+    engine (engine/progressive.py).  Returns (unified_table,
+    inline_ctx); the engine is tick-free iff the scene has no textures
+    or ``inline_ctx['tex'] is not None``.
+    """
+    nw = table.shape[1]
+    pack = 2 if nw >= 74 else 1
+    want_tex = (cfg.inline_tex if cfg.inline_tex is not None
+                else True)
+    tex_on = bool(textures) and want_tex and (
+        cfg.inline_tex is True
+        or (num_texture_tiles(textures)
+            * max(nw, 37 * pack, TEX_ROW) * 4
+            <= TEX_TABLE_BUDGET_BYTES))
+    wu = max(nw, 37 * pack, TEX_ROW if tex_on else 0)
+    tm = scene.trimat
+    if pack == 2 and tm.shape[0] % 2:
+        tm = jnp.pad(tm, ((0, 1), (0, 0)))
+    packed = tm.reshape(-1, 37 * pack)
+    packed = jnp.pad(packed, ((0, 0), (0, wu - 37 * pack)))
+    parts = [jnp.pad(table, ((0, 0), (0, wu - nw))), packed]
+    tex_ctx = None
+    if tex_on:
+        tex_rows, tex_metas, _ = build_texture_tiles(textures)
+        parts.append(jnp.pad(tex_rows,
+                             ((0, 0), (0, wu - TEX_ROW))))
+        tex_ctx = dict(tex0=sentinel + packed.shape[0],
+                       metas=tex_metas)
+    table = jnp.concatenate(parts, axis=0)
+    inline_ctx = dict(
+        pack=pack, scene=scene, textures=textures, cfg=cfg, cam=cam,
+        frame_seed=frame_seed, pixel_pool=pixel_idx, width=width,
+        height=height, spp=spp, sample_offset=sample_offset,
+        seed_spp=seed_spp, sample_stride=sample_stride, stride=stride,
+        tex=tex_ctx, n_items=n_items, pool_fn=pool_fn)
+    return table, inline_ctx
+
+
+def init_lane_ctx(first_sample, frame_seed, seed_spp, sample_offset,
+                  pix0, cam, width, height, cfg, pair: bool, quad: bool,
+                  with_tstash: bool) -> dict:
+    """Fresh per-lane wave state for ``pix0``'s lanes, each starting
+    its pixel's sample ``first_sample``.  Shared by
+    render_frame_persistent (per walk context) and the cross-frame
+    progressive engine."""
+    w = int(pix0.shape[0])
+    f3 = lambda: jnp.zeros((w, 3), jnp.float32)
+    sample0 = jnp.full((w,), first_sample, jnp.int32)
+    seed0 = _lane_seed(frame_seed, seed_spp,
+                       sample0 + jnp.int32(sample_offset))
+    r_o, r_d = generate_rays(cam, width, height, seed0, pix0)
+    extra = {}
+    if pair:
+        # One-slot skip register (entry -> redirect), per walk
+        # context so dual-walk muxes it with the rest.
+        extra["reg_e"] = jnp.full((w,), -1, jnp.int32)
+        extra["reg_s"] = jnp.full((w,), -1, jnp.int32)
+    if quad and cfg.quad_regs > 0:
+        # Skip-register file (cfg.quad_regs slots, default 3), per
+        # walk context (the dual mux broadcasts over the trailing
+        # register axis).  quad_regs=0 drops the file entirely:
+        # containment absorbs every known-missed entry instead
+        # (more visits, ~55 fewer selects per step).
+        extra["reg_e"] = jnp.full((w, cfg.quad_regs), -1, jnp.int32)
+        extra["reg_s"] = jnp.full((w, cfg.quad_regs), -1, jnp.int32)
+    if with_tstash:
+        # TEXG material stash (albedo, metallic, roughness, ior,
+        # transmission, fx, fy, front-face bit); nl/nl_off/emission
+        # ride the dead so/sd/pend slots, the in-tile offsets ride
+        # hit_id.
+        extra["tstash"] = jnp.zeros((w, 10), jnp.float32)
+    return dict(
+        **extra,
+        mode=jnp.full((w,), TRAVERSE, jnp.int32),
+        cur=jnp.zeros((w,), jnp.int32),
+        d_min=jnp.full((w,), MISS_T),
+        hit_id=jnp.full((w,), -1, jnp.int32),
+        o=r_o, d=r_d,
+        tp=jnp.ones((w, 3), jnp.float32),
+        rad=f3(),                 # current sample's radiance
+        sample=sample0,
+        seed=seed0,
+        pix=pix0,                 # this lane's absolute pixel id
+        depth=jnp.zeros((w,), jnp.int32),
+        prev_spec=jnp.ones((w,), bool),
+        so=f3(), sd=f3(),
+        smax=jnp.zeros((w,), jnp.float32),
+        pend=f3(),
+        cont_after_shadow=jnp.zeros((w,), bool),
+    )
+
+
 def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
                             height: int, cfg: RenderConfig, spp: int,
                             pixel_idx=None, with_stats: bool = False,
@@ -231,92 +337,19 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
                   and n % w == 0)
     inline_ctx = None
     if inline:
-        # Unified gather table: node rows first (traversal indices and
-        # the done-sentinel are unchanged), then the trimat rows packed
-        # 2-per-row where the node width allows (the row fetch is
-        # width-independent to >=112 f32; packing halves the added
-        # table bytes to stay under the ~3 MB gather knee).
-        nw = table.shape[1]
-        pack = 2 if nw >= 74 else 1
-        # Inline texturing: append the tiled texture rows too (one row
-        # serves a whole bilinear footprint) when they fit the gather
-        # budget; otherwise textured hits keep the tick deferral.
-        want_tex = (cfg.inline_tex if cfg.inline_tex is not None
-                    else True)
-        tex_on = bool(textures) and want_tex and (
-            cfg.inline_tex is True
-            or (num_texture_tiles(textures)
-                * max(nw, 37 * pack, TEX_ROW) * 4
-                <= TEX_TABLE_BUDGET_BYTES))
-        wu = max(nw, 37 * pack, TEX_ROW if tex_on else 0)
-        tm = scene.trimat
-        if pack == 2 and tm.shape[0] % 2:
-            tm = jnp.pad(tm, ((0, 1), (0, 0)))
-        packed = tm.reshape(-1, 37 * pack)
-        packed = jnp.pad(packed, ((0, 0), (0, wu - 37 * pack)))
-        parts = [jnp.pad(table, ((0, 0), (0, wu - nw))), packed]
-        tex_ctx = None
-        if tex_on:
-            tex_rows, tex_metas, _ = build_texture_tiles(textures)
-            parts.append(jnp.pad(tex_rows,
-                                 ((0, 0), (0, wu - TEX_ROW))))
-            tex_ctx = dict(tex0=sentinel + packed.shape[0],
-                           metas=tex_metas)
-        table = jnp.concatenate(parts, axis=0)
-        inline_ctx = dict(
-            pack=pack, scene=scene, textures=textures, cfg=cfg, cam=cam,
-            frame_seed=frame_seed, pixel_pool=pixel_idx, width=width,
-            height=height, spp=spp, sample_offset=sample_offset,
-            seed_spp=seed_spp, sample_stride=sample_stride, stride=w,
-            tex=tex_ctx, n_items=n_items, pool_fn=pixel_pool_fn)
+        table, inline_ctx = build_inline_table(
+            table, sentinel, scene, textures, cfg, cam, frame_seed,
+            pixel_idx, width, height, spp, sample_offset, seed_spp,
+            sample_stride, w, n_items, pixel_pool_fn)
 
     f3 = lambda: jnp.zeros((w, 3), jnp.float32)
 
     def init_ctx(first_sample: int) -> dict:
-        sample0 = jnp.full((w,), first_sample, jnp.int32)
-        seed0 = _lane_seed(frame_seed, seed_spp,
-                           sample0 + jnp.int32(sample_offset))
-        pix0 = pixel_idx[:w]
-        r_o, r_d = generate_rays(cam, width, height, seed0, pix0)
-        extra = {}
-        if pair:
-            # One-slot skip register (entry -> redirect), per walk
-            # context so dual-walk muxes it with the rest.
-            extra["reg_e"] = jnp.full((w,), -1, jnp.int32)
-            extra["reg_s"] = jnp.full((w,), -1, jnp.int32)
-        if quad and cfg.quad_regs > 0:
-            # Skip-register file (cfg.quad_regs slots, default 3), per
-            # walk context (the dual mux broadcasts over the trailing
-            # register axis).  quad_regs=0 drops the file entirely:
-            # containment absorbs every known-missed entry instead
-            # (more visits, ~55 fewer selects per step).
-            extra["reg_e"] = jnp.full((w, cfg.quad_regs), -1, jnp.int32)
-            extra["reg_s"] = jnp.full((w, cfg.quad_regs), -1, jnp.int32)
-        if inline_ctx is not None and inline_ctx["tex"] is not None:
-            # TEXG material stash (albedo, metallic, roughness, ior,
-            # transmission, fx, fy, front-face bit); nl/nl_off/emission
-            # ride the dead so/sd/pend slots, the in-tile offsets ride
-            # hit_id.
-            extra["tstash"] = jnp.zeros((w, 10), jnp.float32)
-        return dict(
-            **extra,
-            mode=jnp.full((w,), TRAVERSE, jnp.int32),
-            cur=jnp.zeros((w,), jnp.int32),
-            d_min=jnp.full((w,), MISS_T),
-            hit_id=jnp.full((w,), -1, jnp.int32),
-            o=r_o, d=r_d,
-            tp=jnp.ones((w, 3), jnp.float32),
-            rad=f3(),                 # current sample's radiance
-            sample=sample0,
-            seed=seed0,
-            pix=pix0,                 # this lane's absolute pixel id
-            depth=jnp.zeros((w,), jnp.int32),
-            prev_spec=jnp.ones((w,), bool),
-            so=f3(), sd=f3(),
-            smax=jnp.zeros((w,), jnp.float32),
-            pend=f3(),
-            cont_after_shadow=jnp.zeros((w,), bool),
-        )
+        return init_lane_ctx(
+            first_sample, frame_seed, seed_spp, sample_offset,
+            pixel_idx[:w], cam, width, height, cfg, pair, quad,
+            with_tstash=(inline_ctx is not None
+                         and inline_ctx["tex"] is not None))
 
     ctx_keys = tuple(sorted(init_ctx(0).keys())) if dual else ()
     st = init_ctx(0)
@@ -339,9 +372,13 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
                   dbg_shadow_visits=jnp.float32(0),
                   dbg_lane_steps=jnp.float32(0),
                   # Per-body mode split over ALL contexts (so dual
-                  # counts both walks): done vs waiting-for-tick.
+                  # counts both walks): done vs waiting-for-tick vs
+                  # inline-service (SHADEG) -- the last splits the
+                  # "remainder" idle bucket of PERFORMANCE.md 2b.3b.
                   dbg_ctx_done=jnp.float32(0),
                   dbg_ctx_wait=jnp.float32(0),
+                  dbg_ctx_shadeg=jnp.float32(0),
+                  dbg_shadeg_steps=jnp.float32(0),
                   dbg_ctx_steps=jnp.float32(0))
     if dual:
         # Context A (samples 0,2,4,...) rides the plain keys; context B
@@ -365,7 +402,8 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
             z = jnp.float32(0)
             dbg = dict(bodies=jnp.int32(0), ticks=z, visits=z,
                        shadow_visits=z, lane_steps=z, ctx_done=z,
-                       ctx_wait=z, ctx_steps=z)
+                       ctx_wait=z, ctx_shadeg=z, shadeg_steps=z,
+                       ctx_steps=z)
             return (out, stats, dbg) if with_stats else (out, dbg)
         return (out, stats) if with_stats else out
 
@@ -415,6 +453,8 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
             done = done & (s["b.mode"] == DONE)
         return done
 
+    svc_every = cfg.inline_service_steps or step_unroll
+
     def make_body(step_unroll=step_unroll):
         def run_single(s):
             for u in range(step_unroll):
@@ -427,15 +467,26 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
                         + (s["mode"] == SHADOW).sum().astype(jnp.float32))
                     s["dbg_lane_steps"] = (s["dbg_lane_steps"]
                                            + jnp.float32(act.shape[0]))
+                    # Sub-step-resolution SHADEG occupancy: lanes
+                    # holding a finished walk, waiting for (or taking)
+                    # their serviced sub-step -- the inline-service
+                    # share of 2b.3b's idle remainder.
+                    s["dbg_shadeg_steps"] = (
+                        s["dbg_shadeg_steps"]
+                        + ((s["mode"] == SHADEG)
+                           | (s["mode"] == TEXG)).sum().astype(
+                               jnp.float32))
                 # Inline servicing rides the LAST unrolled step of the
-                # body: the shade/refill block's elementwise+state
-                # writes are paid once per body (like a tick), but a
-                # finished lane waits at most one body for them
-                # (measured per-STEP servicing loses 16% at the
-                # headline -- 4x the block cost for marginal extra
-                # wait reduction on top of dual-walk).
+                # body by default: the shade/refill block's
+                # elementwise+state writes are paid once per body
+                # (like a tick), but a finished lane waits at most one
+                # body for them (measured per-STEP servicing loses 16%
+                # at the headline -- 4x the block cost for marginal
+                # extra wait reduction on top of dual-walk).
+                # cfg.inline_service_steps trades block copies for
+                # SHADEG wait (PERFORMANCE.md 2b.3b).
                 s = step_fn(s, table, sentinel, k, col_ps, inline_ctx,
-                            u == step_unroll - 1, fmt)
+                            u % svc_every == svc_every - 1, fmt)
 
             if inline_ctx is not None and (not textures
                                            or inline_ctx["tex"]
@@ -482,6 +533,8 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
                     s["dbg_ctx_wait"] += ((mm == READY)
                                           | (mm == REFILL)
                                           | (mm == TEXG)).sum().astype(
+                        jnp.float32)
+                    s["dbg_ctx_shadeg"] += (mm == SHADEG).sum().astype(
                         jnp.float32)
                     s["dbg_ctx_steps"] += jnp.float32(mm.shape[0])
             if not dual:
@@ -590,6 +643,8 @@ def render_frame_persistent(scene, textures, cam, frame_seed, width: int,
                    lane_steps=final["dbg_lane_steps"],
                    ctx_done=final["dbg_ctx_done"],
                    ctx_wait=final["dbg_ctx_wait"],
+                   ctx_shadeg=final["dbg_ctx_shadeg"],
+                   shadeg_steps=final["dbg_shadeg_steps"],
                    ctx_steps=final["dbg_ctx_steps"])
         if with_stats:
             return final["out"], (final["n_traced"],
