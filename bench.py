@@ -180,6 +180,10 @@ def main() -> int:
     ap.add_argument("--quad-layout", default=None,
                     help="quad table layout: mux | octant | auto "
                          "(config default: mux)")
+    ap.add_argument("--service-steps", type=int, default=None,
+                    help="inline service cadence within the unrolled "
+                         "body (0 = auto: last sub-step only; N = every "
+                         "Nth sub-step -- config.inline_service_steps)")
     ap.add_argument("--redirect-passes", type=int, default=None,
                     help="quad-walk skip-register redirect passes per "
                     "step (config default: 2)")
@@ -256,6 +260,8 @@ def main() -> int:
         cfg = cfg.replace(tail_unroll=args.tail_unroll)
     if args.redirect_passes is not None:
         cfg = cfg.replace(quad_redirect_passes=args.redirect_passes)
+    if args.service_steps is not None:
+        cfg = cfg.replace(inline_service_steps=args.service_steps)
     if args.quad_regs is not None:
         cfg = cfg.replace(quad_regs=args.quad_regs)
     if args.quad_collapse is not None:

@@ -117,6 +117,12 @@ print(json.dumps({
     # READY/REFILL/TEXG (waiting for a shade tick / texture service).
     "idle_done_frac": round(float(dbg["ctx_done"]) / ctx_steps, 4),
     "idle_wait_frac": round(float(dbg["ctx_wait"]) / ctx_steps, 4),
+    # Sub-step-resolution SHADEG/TEXG occupancy vs lane_steps (round-5
+    # split of 2b.3b's 0.21 remainder bucket: the inline-service
+    # wait + serviced steps); ctx_shadeg is the per-body-start view.
+    "shadeg_steps_frac": round(float(dbg["shadeg_steps"]) / lane_steps,
+                               4),
+    "idle_shadeg_frac": round(float(dbg["ctx_shadeg"]) / ctx_steps, 4),
     "rays": rays,
     "visits_per_ray": round(visits / rays, 2),
     "compile_s": round(compile_s, 1),

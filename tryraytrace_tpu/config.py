@@ -131,6 +131,17 @@ class RenderConfig:
     # Mrays/s, cow800 9.36 -> 10.07, flythrough 7.36 -> 7.65; see
     # BASELINE.md round-2 inline table).
     inline_shade: bool | None = None
+    # How often the unrolled body runs the inline service block
+    # (shade/texture/regenerate, persistent._service_shade): a lane
+    # finishing its walk at sub-step u waits (svc - 1 - u % svc)
+    # sub-steps in SHADEG for the next serviced sub-step.  0 = auto:
+    # once per body, at the LAST sub-step (wait avg (unroll-1)/2 =
+    # 1.5 sub-steps at unroll 4); N >= 1 services every Nth sub-step
+    # (positions u % N == N-1; N=1 is the measured -16% every-step
+    # case, docs/PERFORMANCE.md 2a.2).  Images identical for any value
+    # (slot-addressed RNG).  Measurement knob for the service-step
+    # idle bucket (PERFORMANCE.md 2b.3b).
+    inline_service_steps: int = 0
     # Inline texturing (only meaningful under inline shading): textured
     # hits fetch their bilinear footprint's 5x5 apron tile row through
     # the same per-step gather slot (mode TEXG, one extra serviced
