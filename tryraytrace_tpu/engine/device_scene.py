@@ -125,7 +125,16 @@ def _build_auto_leaf(arrays: SceneArrays, method: str,
     The knee check uses the SELECTED traversal's row count and width:
     pair rows (10 + 9K) are narrower than threaded rows (9K + 24), and
     quad tables drop the collapsed-away internal rows entirely, so
-    scenes near the knee keep bigger leaves under those walks."""
+    scenes near the knee keep bigger leaves under those walks.
+
+    Thresholds are the measured per-traversal leaf optima, not a
+    single byte knee: threaded flythrough wants leaf 6 at 2.63 MB
+    (round 2: 6.49 vs 6.13 at leaf 8/3.18 MB), and quad flythrough
+    wants leaf 6 at 1.95 MB (round 5: 15.77 vs 15.23 at leaf 8/
+    2.48 MB, leaf 4 14.19 -- sweeps/r5_batch1.jsonl), while teddy's
+    2.13 MB quad table is penalty-free at leaf 8 (19.52, teapot-level).
+    2.3 MB splits the quad scenes exactly; 3.0 MB reproduces the
+    threaded/pair optima."""
     from tryraytrace_tpu.accel.bvh import (collapse_bvh, pair_row_width,
                                            quad_row_width,
                                            traversal_row_width)
@@ -133,7 +142,7 @@ def _build_auto_leaf(arrays: SceneArrays, method: str,
     width_of = (pair_row_width if traversal == "pair"
                 else quad_row_width if traversal == "quad"
                 else traversal_row_width)
-    knee_bytes = 3.0e6
+    knee_bytes = 2.3e6 if traversal == "quad" else 3.0e6
     candidates = (8, 6, 4)
     for cand in candidates:
         bvh = build_bvh(arrays.tri_v0, arrays.tri_v1, arrays.tri_v2,
