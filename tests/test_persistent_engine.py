@@ -55,6 +55,22 @@ def test_cadence_invariant(arrays, shade_every):
     np.testing.assert_allclose(ref, out, **_ULP)
 
 
+@pytest.mark.weekly
+def test_inline_service_steps_identical(arrays):
+    # cfg.inline_service_steps only moves WHEN the inline service
+    # block runs inside the unrolled body (slot-addressed RNG: timing
+    # cannot change what a lane draws).  Weekly tier: measurement knob
+    # (default 0 = once per body), two extra engine compiles.
+    ref = _render(arrays, "persistent")
+    for svc in (1, 2):
+        cfg = RenderConfig(width=40, height=24, spp=2, shade_every=4,
+                           inline_service_steps=svc)
+        r = Renderer(arrays, cfg=cfg)
+        r.step(CameraController().get_params(40, 24), spp=2)
+        np.testing.assert_allclose(ref, r.accum_host(),
+                                   err_msg=f"svc={svc}", **_ULP)
+
+
 def test_engines_identical_with_dof(arrays):
     a = _render(arrays, "bounce", aperture=1.0)
     b = _render(arrays, "persistent", aperture=1.0)
@@ -110,9 +126,14 @@ def test_dual_walk_identical(arrays):
     np.testing.assert_allclose(outs[0], outs[1], **_ULP)
 
 
+@pytest.mark.weekly
 def test_pool_scheduler_bit_identical(arrays):
     # Work stealing is a pure scheduling transform: per-pixel sums are
     # bit-equal to the owner schedule for ANY wave width / span.
+    # Weekly tier: pool/quota are demoted variants (owner measured
+    # faster at every operating point, BASELINE.md round 4) and this
+    # matrix compiles 7 engine programs; the cheap stats cross-check
+    # (test_pool_scheduler_stats_match) stays in the default tier.
     cam = CameraController()
     cam.aperture = 0.5
     p = cam.get_params(40, 24)
@@ -154,7 +175,11 @@ def test_ladder_knobs_bit_identical(arrays):
         np.testing.assert_array_equal(outs[0], other)
 
 
+@pytest.mark.weekly
 def test_tail_unroll_mc_equivalent(arrays):
+    # Weekly tier: tail_unroll is a dead knob (0 by default; deeper
+    # measured no gain on chip, BASELINE.md round 4) and this is an
+    # extra two engine compiles.
     # tail_unroll recompiles the tail stages' step graph, so XLA
     # re-fuses it: per-lane math is op-identical but drifts by ULPs
     # that compound along deep paths (measured max ~4e-5 at 64x48;

@@ -154,7 +154,15 @@ def _render(arrays, **cfg_kw):
     return r.accum_host()
 
 
+@pytest.mark.weekly
 def test_engine_variants_match_default(arrays):
+    """Exhaustive full-engine matrix over the DEMOTED quad variants
+    (each measured slower than the default on chip, kept as tested
+    fallbacks).  Every entry compiles its own engine program --
+    multi-minute each on a 1-core XLA:CPU host -- while the walk-level
+    bit-identity tests above cover the same decode/layout/collapse
+    semantics in seconds, so this runs in the weekly tier
+    (pyproject addopts; `pytest -m weekly`)."""
     base = _render(arrays, traversal="quad")
     for kw in (dict(quad_layout="octant"),
                dict(quad_regs=0, quad_select="perm"),
