@@ -180,6 +180,10 @@ def main() -> int:
     ap.add_argument("--quad-layout", default=None,
                     help="quad table layout: mux | octant | auto "
                          "(config default: mux)")
+    ap.add_argument("--shadow-pred", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="quad-walk shadow-ray occluder prediction "
+                         "(config.shadow_pred)")
     ap.add_argument("--service-steps", type=int, default=None,
                     help="inline service cadence within the unrolled "
                          "body (0 = auto: last sub-step only; N = every "
@@ -262,6 +266,8 @@ def main() -> int:
         cfg = cfg.replace(quad_redirect_passes=args.redirect_passes)
     if args.service_steps is not None:
         cfg = cfg.replace(inline_service_steps=args.service_steps)
+    if args.shadow_pred is not None:
+        cfg = cfg.replace(shadow_pred=args.shadow_pred)
     if args.quad_regs is not None:
         cfg = cfg.replace(quad_regs=args.quad_regs)
     if args.quad_collapse is not None:

@@ -118,8 +118,19 @@ def test_inline_quota_matches_owner(arrays_tex):
 
 
 def test_inline_quota_is_tick_free(arrays_tex):
-    _, dbg = _dbg_render(arrays_tex, scheduler="quota", inline_tex=True)
+    # Quota's inline gate requires the elementwise pixel_pool_fn that
+    # render_frame (wavefront.py) supplies in production; calling the
+    # engine directly without it correctly falls back to the tick path
+    # (ticks > 0), so this test passes the identity map the production
+    # chunking uses for a full-frame pool.  (Round 5: the original
+    # version omitted pool_fn and had been failing since birth --
+    # caught when the default suite tier was re-run end-to-end.)
+    _, dbg = _dbg_render(arrays_tex, scheduler="quota", inline_tex=True,
+                         pixel_pool_fn=lambda pos: pos)
     assert dbg["ticks"] == 0
+    _, dbg_nofn = _dbg_render(arrays_tex, scheduler="quota",
+                              inline_tex=True)
+    assert dbg_nofn["ticks"] > 0  # the documented fallback
 
 
 def test_inline_quota_chunked_exact(arrays):
@@ -132,7 +143,7 @@ def test_inline_quota_chunked_exact(arrays):
     np.testing.assert_allclose(a, b, **_ULP)
 
 
-def _dbg_render(arrays, **cfg_kw):
+def _dbg_render(arrays, pixel_pool_fn=None, **cfg_kw):
     import jax
     import jax.numpy as jnp
 
@@ -149,7 +160,8 @@ def _dbg_render(arrays, **cfg_kw):
     cam = CameraController().get_params(w, h)
     out, dbg = jax.jit(
         lambda fs: render_frame_persistent(scene, textures, cam, fs, w,
-                                           h, cfg, spp, with_debug=True)
+                                           h, cfg, spp, with_debug=True,
+                                           pixel_pool_fn=pixel_pool_fn)
     )(jnp.uint32(1))
     return np.asarray(out), {k: float(v) for k, v in dbg.items()}
 

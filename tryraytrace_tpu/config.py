@@ -188,9 +188,29 @@ class RenderConfig:
     # pass 1 leaves those to be absorbed by containment (more visits,
     # fewer selects per step).  Identical images either way -- visit
     # ORDER/count changes only, and closest/any-hit are
-    # order-independent.  Default 2 (the round-2 tuning); the 1-pass
-    # A/B rides the round-3 measurement queue.
-    quad_redirect_passes: int = 2
+    # order-independent.  Default 1: measured above 2 in two
+    # independent sessions (round 4: 24.47 vs 24.41; round 5:
+    # 24.75 vs 24.68 -- each +0.3%, at the spread floor but
+    # consistently positive and strictly fewer selects; one pass
+    # resolves effectively every chained miss on these scenes).
+    quad_redirect_passes: int = 1
+    # Shadow-ray occluder prediction for the quad walk (the temporal
+    # ray-path-prediction direction of PAPERS.md 1910.01304, adapted:
+    # no hash table -- the predictor is one int32 of lane state).  A
+    # lane remembers the leaf row that occluded its LAST NEE shadow
+    # segment; the next shadow walk starts by testing that row first
+    # (same pixel, next sample: the occluder is highly coherent), and
+    # a still-occluded segment finishes after ONE row fetch instead of
+    # a full walk.  On a miss the walk restarts from the root (the
+    # predicted row is re-visited later: one wasted fetch, exactness
+    # untouched -- any-hit is order-independent, so images are
+    # IDENTICAL either way).  Decision sim
+    # (scripts/sim_prediction.py, teapot): shadow gathers x0.66
+    # (occl rate 0.76, predictor valid 0.76), headline mix -13.3%
+    # gathers with prediction on shadow rays only (surface-ray
+    # prediction measured a LOSS there: the warm-start fetch does not
+    # pay at 3.5-fetch walks -- so only shadow walks predict).
+    shadow_pred: bool = False
     # Depth of the quad walk's skip-register file (per-lane known-miss
     # (entry -> successor) slots, ops/traverse._regfile_apply).  Fewer
     # registers cut the per-step shift-push/redirect select network

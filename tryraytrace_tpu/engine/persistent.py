@@ -191,6 +191,13 @@ def init_lane_ctx(first_sample, frame_seed, seed_spp, sample_offset,
         # (more visits, ~55 fewer selects per step).
         extra["reg_e"] = jnp.full((w, cfg.quad_regs), -1, jnp.int32)
         extra["reg_s"] = jnp.full((w, cfg.quad_regs), -1, jnp.int32)
+    if quad and cfg.shadow_pred:
+        # Last occluding leaf row per lane (cfg.shadow_pred): the next
+        # NEE shadow walk tests it first.  pred_pending marks a walk
+        # currently ON its predicted row (its continuation is the
+        # root, not the row's thread link).
+        extra["pred"] = jnp.full((w,), -1, jnp.int32)
+        extra["pred_pending"] = jnp.zeros((w,), bool)
     if with_tstash:
         # TEXG material stash (albedo, metallic, roughness, ior,
         # transmission, fx, fy, front-face bit); nl/nl_off/emission
@@ -1015,6 +1022,17 @@ def _step_quad(s, table, sentinel, k: int, col_ps: int, inline=None,
                                            stepping,
                                            ~is_leaf & stepping,
                                            passes=redirect_passes)
+    pred_on = "pred" in s  # cfg.shadow_pred (quad only)
+    if pred_on:
+        # A lane ON its predicted occluder row (pred_pending): if the
+        # row did not occlude, restart the walk from the root -- the
+        # predicted row's thread continuation belongs to a different
+        # entry path, and nxt==0 never collides with stale skip
+        # registers (no link re-enters the root).  The root pass may
+        # re-test the predicted row later: one wasted fetch, exact
+        # (any-hit is order-independent).
+        pp = s["pred_pending"] & live_s
+        nxt = jnp.where(pp, 0, nxt)
     cur = jnp.where(stepping, nxt, s["cur"])
 
     # Transitions (identical to _step/_step_pair).
@@ -1040,6 +1058,12 @@ def _step_quad(s, table, sentinel, k: int, col_ps: int, inline=None,
     out.update(mode=mode, cur=cur, d_min=d_min, hit_id=hit_id, rad=rad)
     if use_regs:
         out.update(reg_e=reg_e, reg_s=reg_s)
+    if pred_on:
+        # Remember the occluding leaf row for the lane's NEXT shadow
+        # walk (same pixel, next sample: highly coherent); the pending
+        # bit clears once its step ran or the walk ended.
+        out.update(pred=jnp.where(occluded, idx, s["pred"]),
+                   pred_pending=s["pred_pending"] & ~pp & ~s_done)
     if service:
         out = _service_shade(out, s, row, live_g, live_x, inline,
                              tex_ctx)
@@ -1398,6 +1422,14 @@ def _shade_finish(s, ready, deferred, q, scene, cfg: RenderConfig):
     hit_id = jnp.where(ready, -1, s["hit_id"])
 
     out = dict(s)
+    if "pred" in s:
+        # Shadow-ray occluder prediction (cfg.shadow_pred, quad walk):
+        # a fired shadow segment with a remembered occluder starts ON
+        # that leaf row instead of the root.
+        pred_ok = shadow_fire & (s["pred"] >= 0)
+        cur = jnp.where(pred_ok, s["pred"], cur)
+        out["pred_pending"] = jnp.where(ready, pred_ok,
+                                        s["pred_pending"])
     out.update(
         mode=mode, cur=cur, d_min=d_min, hit_id=hit_id,
         o=jnp.where(ready[..., None], new_o, o),
